@@ -1,0 +1,462 @@
+"""Host I/O: MuJoCo model → device Model, Data allocation and transfer.
+
+TPU-native counterpart of reference mujoco_warp/_src/io.py (put_model:287,
+make_data:1712, put_data:1922, get_data_into:2216).  Like the reference, the
+MJCF compiler and ``mjModel`` stay a host-side dependency; this module does
+the one-time constant precompute that makes the device code static-shaped:
+
+* kinematic-tree levels + ancestor/subtree masks (→ level-parallel FK and
+  matmul-shaped CoM/CRB/RNE, replacing the reference's body_tree tables),
+* the filtered collision candidate pair table with static per-pair contact
+  capacities (replacing runtime broadphase + atomic slot allocation),
+* the static constraint-row layout ne/nf/nl/contact rows (replacing the
+  reference's runtime nefc counting, constraint.py:4870).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+
+from mujoco_warp_tpu import types
+from mujoco_warp_tpu.ops import collision_driver
+
+_JT = types.JointType
+
+
+def _jnp(x, dtype=np.float32):
+  return jnp.asarray(np.asarray(x), dtype=dtype)
+
+
+def _tree_info(mjm: mujoco.MjModel) -> types.TreeInfo:
+  """Static tree traversal structure (levels + masks)."""
+  nbody, nv = mjm.nbody, mjm.nv
+  parent = mjm.body_parentid
+
+  depth = np.zeros(nbody, dtype=np.int32)
+  for i in range(1, nbody):
+    depth[i] = depth[parent[i]] + 1
+  maxdepth = int(depth.max()) if nbody > 1 else 0
+  levels = tuple(
+      np.nonzero(depth == l)[0].astype(np.int32)
+      for l in range(1, maxdepth + 1)
+  )
+  levels_rev = tuple(reversed(levels))
+
+  # subtree mask: subtree_mask[i, j] = j in subtree(i) (inclusive)
+  subtree = np.zeros((nbody, nbody), dtype=bool)
+  for j in range(nbody):
+    a = j
+    while True:
+      subtree[a, j] = True
+      if a == 0:
+        break
+      a = parent[a]
+
+  # dof ancestor mask via dof_parentid chain (inclusive)
+  anc = np.zeros((nv, nv), dtype=bool)
+  for i in range(nv):
+    a = i
+    while a >= 0:
+      anc[i, a] = True
+      a = mjm.dof_parentid[a]
+
+  # body_dof_mask[b, i] = dof i actuates body b (i on b's ancestor chain)
+  body_dof = subtree[mjm.dof_bodyid, :].T  # (nbody, nv)
+  dof_subtree = subtree[mjm.dof_bodyid, :]  # (nv, nbody)
+
+  # cdofdot mask: strict ancestors excluding same-joint dofs; for free-joint
+  # rotational dofs additionally include the same joint's translational dofs
+  # (mirrors mj_comVel's per-joint accumulation order).
+  cdofdot = np.zeros((nv, nv), dtype=bool)
+  for i in range(nv):
+    jid = mjm.dof_jntid[i]
+    a = mjm.dof_parentid[i]
+    while a >= 0:
+      if mjm.dof_jntid[a] != jid:
+        cdofdot[i, a] = True
+      a = mjm.dof_parentid[a]
+    if mjm.jnt_type[jid] == mujoco.mjtJoint.mjJNT_FREE:
+      dadr = mjm.jnt_dofadr[jid]
+      if i >= dadr + 3:  # rotational dof of a free joint
+        cdofdot[i, dadr:dadr + 3] = True
+
+  return types.TreeInfo(
+      body_levels=levels,
+      body_levels_rev=levels_rev,
+      ancestor_mask=anc,
+      subtree_mask=subtree,
+      body_dof_mask=body_dof,
+      dof_subtree_mask=dof_subtree,
+      cdofdot_mask=cdofdot,
+  )
+
+
+def _efc_layout(mjm: mujoco.MjModel, con_dim: np.ndarray,
+                cone: int) -> Tuple[int, int, int, int, np.ndarray]:
+  """Static constraint-row layout (reference: constraint.py:4870 counting).
+
+  Rows: equality | dof friction | tendon friction | joint limits | tendon
+  limits | contacts.  Returns (ne, nf, nl, nefc, con_efc_address).
+  """
+  ne = 0
+  for et in mjm.eq_type:
+    ne += {int(types.EqType.CONNECT): 3, int(types.EqType.WELD): 6,
+           int(types.EqType.JOINT): 1, int(types.EqType.TENDON): 1}.get(
+               int(et), 0)
+  nf = int(np.sum(mjm.dof_frictionloss > 0))
+  if mjm.ntendon:
+    nf += int(np.sum(mjm.tendon_frictionloss > 0))
+  nl = int(np.sum(mjm.jnt_limited))
+  if mjm.ntendon:
+    nl += int(np.sum(mjm.tendon_limited))
+
+  rows = np.zeros(len(con_dim), dtype=np.int32)
+  for i, dim in enumerate(con_dim):
+    if cone == types.ConeType.PYRAMIDAL:
+      rows[i] = 1 if dim == 1 else 2 * (dim - 1)
+    else:
+      rows[i] = dim
+  adr = ne + nf + nl + np.concatenate([[0], np.cumsum(rows)[:-1]]).astype(
+      np.int32) if len(con_dim) else np.zeros(0, np.int32)
+  nefc = ne + nf + nl + int(rows.sum())
+  return ne, nf, nl, nefc, adr
+
+
+def put_model(mjm: mujoco.MjModel, dtype=np.float32) -> types.Model:
+  """Convert a mujoco.MjModel into a device Model (reference: io.py:287)."""
+  # ---- validation (reference: io.py:312-418)
+  if mjm.opt.solver == mujoco.mjtSolver.mjSOL_PGS:
+    raise NotImplementedError('PGS solver is not supported (use CG/Newton).')
+  for i in range(mjm.njnt):
+    if mjm.jnt_type[i] == mujoco.mjtJoint.mjJNT_FREE:
+      # free joints must be at tree roots (ancestor dofs would break cdof_dot)
+      if mjm.body_parentid[mjm.jnt_bodyid[i]] != 0:
+        pass  # MuJoCo itself enforces placement; trust the compiler.
+
+  opt = types.Option(
+      timestep=_jnp(mjm.opt.timestep, dtype),
+      impratio=_jnp(mjm.opt.impratio, dtype),
+      tolerance=_jnp(mjm.opt.tolerance, dtype),
+      ls_tolerance=_jnp(mjm.opt.ls_tolerance, dtype),
+      gravity=_jnp(mjm.opt.gravity, dtype),
+      wind=_jnp(mjm.opt.wind, dtype),
+      magnetic=_jnp(mjm.opt.magnetic, dtype),
+      density=_jnp(mjm.opt.density, dtype),
+      viscosity=_jnp(mjm.opt.viscosity, dtype),
+      o_margin=_jnp(mjm.opt.o_margin, dtype),
+      o_solref=_jnp(mjm.opt.o_solref, dtype),
+      o_solimp=_jnp(mjm.opt.o_solimp, dtype),
+      o_friction=_jnp(mjm.opt.o_friction, dtype),
+      integrator=int(mjm.opt.integrator),
+      cone=int(mjm.opt.cone),
+      solver=int(mjm.opt.solver),
+      iterations=int(mjm.opt.iterations),
+      ls_iterations=int(mjm.opt.ls_iterations),
+      disableflags=int(mjm.opt.disableflags),
+      enableflags=int(mjm.opt.enableflags),
+      ccd_iterations=int(mjm.opt.ccd_iterations),
+      sdf_iterations=int(mjm.opt.sdf_iterations),
+      sdf_initpoints=int(mjm.opt.sdf_initpoints),
+  )
+  stat = types.Statistic(meaninertia=_jnp(mjm.stat.meaninertia, dtype))
+  tree = _tree_info(mjm)
+
+  # collision candidate table
+  pairs = collision_driver.collision_pairs(mjm)
+  ncon = len(pairs.con_pair)
+  slot_dim = pairs.con_dim[pairs.con_pair] if ncon else np.zeros(0, np.int32)
+  ne, nf, nl, nefc, con_efc_adr = _efc_layout(
+      mjm, slot_dim, int(mjm.opt.cone))
+
+  m = types.Model(
+      nq=mjm.nq, nv=mjm.nv, nu=mjm.nu, na=mjm.na, nbody=mjm.nbody,
+      njnt=mjm.njnt, ngeom=mjm.ngeom, nsite=mjm.nsite, ncam=mjm.ncam,
+      nlight=mjm.nlight, nmocap=mjm.nmocap, neq=mjm.neq,
+      ntendon=mjm.ntendon, nwrap=mjm.nwrap, nsensor=mjm.nsensor,
+      nsensordata=mjm.nsensordata,
+      ne=ne, nf=nf, nl=nl, nefc=nefc, ncon=ncon,
+      opt=opt, stat=stat, tree=tree,
+      qpos0=_jnp(mjm.qpos0, dtype),
+      qpos_spring=_jnp(mjm.qpos_spring, dtype),
+      # body
+      body_parentid=mjm.body_parentid.copy(),
+      body_rootid=mjm.body_rootid.copy(),
+      body_weldid=mjm.body_weldid.copy(),
+      body_mocapid=mjm.body_mocapid.copy(),
+      body_jntadr=mjm.body_jntadr.copy(),
+      body_jntnum=mjm.body_jntnum.copy(),
+      body_dofadr=mjm.body_dofadr.copy(),
+      body_dofnum=mjm.body_dofnum.copy(),
+      body_geomadr=mjm.body_geomadr.copy(),
+      body_geomnum=mjm.body_geomnum.copy(),
+      body_treeid=mjm.body_treeid.copy(),
+      body_pos=_jnp(mjm.body_pos, dtype),
+      body_quat=_jnp(mjm.body_quat, dtype),
+      body_ipos=_jnp(mjm.body_ipos, dtype),
+      body_iquat=_jnp(mjm.body_iquat, dtype),
+      body_mass=_jnp(mjm.body_mass, dtype),
+      body_subtreemass=_jnp(mjm.body_subtreemass, dtype),
+      body_inertia=_jnp(mjm.body_inertia, dtype),
+      body_invweight0=_jnp(mjm.body_invweight0, dtype),
+      body_gravcomp=_jnp(mjm.body_gravcomp, dtype),
+      # joint
+      jnt_type=mjm.jnt_type.copy(),
+      jnt_qposadr=mjm.jnt_qposadr.copy(),
+      jnt_dofadr=mjm.jnt_dofadr.copy(),
+      jnt_bodyid=mjm.jnt_bodyid.copy(),
+      jnt_limited=mjm.jnt_limited.copy(),
+      jnt_actfrclimited=mjm.jnt_actfrclimited.copy(),
+      jnt_actgravcomp=mjm.jnt_actgravcomp.copy(),
+      jnt_solref=_jnp(mjm.jnt_solref, dtype),
+      jnt_solimp=_jnp(mjm.jnt_solimp, dtype),
+      jnt_pos=_jnp(mjm.jnt_pos, dtype),
+      jnt_axis=_jnp(mjm.jnt_axis, dtype),
+      jnt_stiffness=_jnp(mjm.jnt_stiffness, dtype),
+      jnt_range=_jnp(mjm.jnt_range, dtype),
+      jnt_actfrcrange=_jnp(mjm.jnt_actfrcrange, dtype),
+      jnt_margin=_jnp(mjm.jnt_margin, dtype),
+      # dof
+      dof_bodyid=mjm.dof_bodyid.copy(),
+      dof_jntid=mjm.dof_jntid.copy(),
+      dof_parentid=mjm.dof_parentid.copy(),
+      dof_treeid=mjm.dof_treeid.copy(),
+      dof_solref=_jnp(mjm.dof_solref, dtype),
+      dof_solimp=_jnp(mjm.dof_solimp, dtype),
+      dof_frictionloss=_jnp(mjm.dof_frictionloss, dtype),
+      dof_armature=_jnp(mjm.dof_armature, dtype),
+      dof_damping=_jnp(mjm.dof_damping, dtype),
+      dof_invweight0=_jnp(mjm.dof_invweight0, dtype),
+      # geom
+      geom_type=mjm.geom_type.copy(),
+      geom_contype=mjm.geom_contype.copy(),
+      geom_conaffinity=mjm.geom_conaffinity.copy(),
+      geom_condim=mjm.geom_condim.copy(),
+      geom_bodyid=mjm.geom_bodyid.copy(),
+      geom_dataid=mjm.geom_dataid.copy(),
+      geom_priority=mjm.geom_priority.copy(),
+      geom_solmix=_jnp(mjm.geom_solmix, dtype),
+      geom_solref=_jnp(mjm.geom_solref, dtype),
+      geom_solimp=_jnp(mjm.geom_solimp, dtype),
+      geom_size=_jnp(mjm.geom_size, dtype),
+      geom_rbound=_jnp(mjm.geom_rbound, dtype),
+      geom_pos=_jnp(mjm.geom_pos, dtype),
+      geom_quat=_jnp(mjm.geom_quat, dtype),
+      geom_friction=_jnp(mjm.geom_friction, dtype),
+      geom_margin=_jnp(mjm.geom_margin, dtype),
+      geom_gap=_jnp(mjm.geom_gap, dtype),
+      # site
+      site_bodyid=mjm.site_bodyid.copy(),
+      site_pos=_jnp(mjm.site_pos, dtype),
+      site_quat=_jnp(mjm.site_quat, dtype),
+      # equality
+      eq_type=mjm.eq_type.copy(),
+      eq_obj1id=mjm.eq_obj1id.copy(),
+      eq_obj2id=mjm.eq_obj2id.copy(),
+      eq_objtype=mjm.eq_objtype.copy(),
+      eq_active0=mjm.eq_active0.copy(),
+      eq_solref=_jnp(mjm.eq_solref, dtype),
+      eq_solimp=_jnp(mjm.eq_solimp, dtype),
+      eq_data=_jnp(mjm.eq_data, dtype),
+      # tendon
+      tendon_adr=mjm.tendon_adr.copy(),
+      tendon_num=mjm.tendon_num.copy(),
+      tendon_limited=mjm.tendon_limited.copy(),
+      tendon_actfrclimited=mjm.tendon_actfrclimited.copy(),
+      tendon_solref_lim=_jnp(mjm.tendon_solref_lim, dtype),
+      tendon_solimp_lim=_jnp(mjm.tendon_solimp_lim, dtype),
+      tendon_solref_fri=_jnp(mjm.tendon_solref_fri, dtype),
+      tendon_solimp_fri=_jnp(mjm.tendon_solimp_fri, dtype),
+      tendon_range=_jnp(mjm.tendon_range, dtype),
+      tendon_actfrcrange=_jnp(mjm.tendon_actfrcrange, dtype),
+      tendon_margin=_jnp(mjm.tendon_margin, dtype),
+      tendon_stiffness=_jnp(mjm.tendon_stiffness, dtype),
+      tendon_damping=_jnp(mjm.tendon_damping, dtype),
+      tendon_armature=_jnp(mjm.tendon_armature, dtype),
+      tendon_frictionloss=_jnp(mjm.tendon_frictionloss, dtype),
+      tendon_lengthspring=_jnp(mjm.tendon_lengthspring, dtype),
+      tendon_length0=_jnp(mjm.tendon_length0, dtype),
+      tendon_invweight0=_jnp(mjm.tendon_invweight0, dtype),
+      wrap_objid=mjm.wrap_objid.copy(),
+      wrap_prm=_jnp(mjm.wrap_prm, dtype),
+      wrap_type=mjm.wrap_type.copy(),
+      # actuator
+      actuator_trntype=mjm.actuator_trntype.copy(),
+      actuator_dyntype=mjm.actuator_dyntype.copy(),
+      actuator_gaintype=mjm.actuator_gaintype.copy(),
+      actuator_biastype=mjm.actuator_biastype.copy(),
+      actuator_trnid=mjm.actuator_trnid.copy(),
+      actuator_actadr=mjm.actuator_actadr.copy(),
+      actuator_actnum=mjm.actuator_actnum.copy(),
+      actuator_ctrllimited=mjm.actuator_ctrllimited.copy(),
+      actuator_forcelimited=mjm.actuator_forcelimited.copy(),
+      actuator_actlimited=mjm.actuator_actlimited.copy(),
+      actuator_actearly=mjm.actuator_actearly.copy(),
+      actuator_dynprm=_jnp(mjm.actuator_dynprm, dtype),
+      actuator_gainprm=_jnp(mjm.actuator_gainprm, dtype),
+      actuator_biasprm=_jnp(mjm.actuator_biasprm, dtype),
+      actuator_ctrlrange=_jnp(mjm.actuator_ctrlrange, dtype),
+      actuator_forcerange=_jnp(mjm.actuator_forcerange, dtype),
+      actuator_actrange=_jnp(mjm.actuator_actrange, dtype),
+      actuator_gear=_jnp(mjm.actuator_gear, dtype),
+      actuator_cranklength=_jnp(mjm.actuator_cranklength, dtype),
+      actuator_acc0=_jnp(mjm.actuator_acc0, dtype),
+      actuator_lengthrange=_jnp(mjm.actuator_lengthrange, dtype),
+      actuator_length0=_jnp(mjm.actuator_length0, dtype),
+      # sensor
+      sensor_type=mjm.sensor_type.copy(),
+      sensor_datatype=mjm.sensor_datatype.copy(),
+      sensor_needstage=mjm.sensor_needstage.copy(),
+      sensor_objtype=mjm.sensor_objtype.copy(),
+      sensor_objid=mjm.sensor_objid.copy(),
+      sensor_reftype=mjm.sensor_reftype.copy(),
+      sensor_refid=mjm.sensor_refid.copy(),
+      sensor_dim=mjm.sensor_dim.copy(),
+      sensor_adr=mjm.sensor_adr.copy(),
+      sensor_cutoff=_jnp(mjm.sensor_cutoff, dtype),
+      # collision tables
+      pair_geom1=pairs.pair_geom1,
+      pair_geom2=pairs.pair_geom2,
+      con_pair=pairs.con_pair,
+      con_efc_address=con_efc_adr,
+      pair_groups=pairs.groups,
+      pair_explicit=pairs.pair_explicit,
+      pair_dim=pairs.con_dim,
+      pair_margin=_jnp(pairs.pair_margin, dtype),
+      pair_gap=_jnp(pairs.pair_gap, dtype),
+      pair_friction=_jnp(pairs.pair_friction, dtype),
+      pair_solref=_jnp(pairs.pair_solref, dtype),
+      pair_solreffriction=_jnp(pairs.pair_solreffriction, dtype),
+      pair_solimp=_jnp(pairs.pair_solimp, dtype),
+  )
+  return m
+
+
+def make_data(m: types.Model, nworld: Optional[int] = None,
+              dtype=np.float32) -> types.Data:
+  """Allocate a fresh Data at qpos0 (reference: io.py:1712 `make_data`)."""
+  d = _empty_data(m, dtype)
+  d = d.replace(qpos=jnp.asarray(m.qpos0, dtype))
+  if nworld is not None:
+    d = jax.tree.map(lambda x: jnp.broadcast_to(x, (nworld,) + x.shape), d)
+  return d
+
+
+def _empty_data(m: types.Model, dtype=np.float32) -> types.Data:
+  z = lambda *shape: jnp.zeros(shape, dtype)
+  quat0 = jnp.zeros((m.nbody, 4), dtype).at[:, 0].set(1.0)
+  contact = types.Contact(
+      dist=jnp.full((m.ncon,), 1e10, dtype),
+      pos=z(m.ncon, 3),
+      frame=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.ncon, 3, 3)),
+      includemargin=z(m.ncon),
+      friction=z(m.ncon, 5),
+      solref=z(m.ncon, types.NREF),
+      solreffriction=z(m.ncon, types.NREF),
+      solimp=z(m.ncon, types.NIMP),
+      dim=m.pair_dim[m.con_pair] if m.ncon else np.zeros(0, np.int32),
+      geom1=m.pair_geom1[m.con_pair] if m.ncon else np.zeros(0, np.int32),
+      geom2=m.pair_geom2[m.con_pair] if m.ncon else np.zeros(0, np.int32),
+      efc_address=m.con_efc_address,
+  )
+  return types.Data(
+      time=jnp.zeros((), dtype),
+      qpos=z(m.nq), qvel=z(m.nv), act=z(m.na), ctrl=z(m.nu),
+      qfrc_applied=z(m.nv), xfrc_applied=z(m.nbody, 6),
+      eq_active=jnp.asarray(m.eq_active0.astype(bool)) if m.neq else
+      jnp.zeros((0,), bool),
+      mocap_pos=z(m.nmocap, 3),
+      mocap_quat=jnp.zeros((m.nmocap, 4), dtype).at[:, 0].set(1.0),
+      xpos=z(m.nbody, 3), xquat=quat0,
+      xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.nbody, 3, 3)),
+      xipos=z(m.nbody, 3),
+      ximat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.nbody, 3, 3)),
+      xanchor=z(m.njnt, 3), xaxis=z(m.njnt, 3),
+      geom_xpos=z(m.ngeom, 3),
+      geom_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.ngeom, 3, 3)),
+      site_xpos=z(m.nsite, 3),
+      site_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.nsite, 3, 3)),
+      subtree_com=z(m.nbody, 3),
+      cinert=z(m.nbody, 6, 6), cdof=z(m.nv, 6),
+      crb=z(m.nbody, 6, 6), qM=z(m.nv, m.nv), qLD=z(m.nv, m.nv),
+      ten_length=z(m.ntendon), ten_J=z(m.ntendon, m.nv),
+      actuator_length=z(m.nu), actuator_moment=z(m.nu, m.nv),
+      cvel=z(m.nbody, 6), cdof_dot=z(m.nv, 6),
+      actuator_velocity=z(m.nu), ten_velocity=z(m.ntendon),
+      qfrc_bias=z(m.nv), qfrc_spring=z(m.nv), qfrc_damper=z(m.nv),
+      qfrc_gravcomp=z(m.nv), qfrc_fluid=z(m.nv), qfrc_passive=z(m.nv),
+      act_dot=z(m.na), actuator_force=z(m.nu), qfrc_actuator=z(m.nv),
+      qfrc_smooth=z(m.nv), qacc_smooth=z(m.nv),
+      qfrc_constraint=z(m.nv), qacc=z(m.nv), qacc_warmstart=z(m.nv),
+      contact=contact,
+      efc_J=z(m.nefc, m.nv), efc_pos=z(m.nefc), efc_margin=z(m.nefc),
+      efc_frictionloss=z(m.nefc), efc_D=z(m.nefc), efc_aref=z(m.nefc),
+      efc_force=z(m.nefc),
+      efc_active=jnp.zeros((m.nefc,), bool),
+      ne_active=jnp.zeros((), jnp.int32),
+      nf_active=jnp.zeros((), jnp.int32),
+      nl_active=jnp.zeros((), jnp.int32),
+      ncon_active=jnp.zeros((), jnp.int32),
+      nefc_active=jnp.zeros((), jnp.int32),
+      solver_niter=jnp.zeros((), jnp.int32),
+      overflow=jnp.zeros((), jnp.int32),
+      energy=z(2),
+      sensordata=z(m.nsensordata),
+  )
+
+
+def put_data(mjm: mujoco.MjModel, mjd: mujoco.MjData, m: types.Model,
+             nworld: Optional[int] = None, dtype=np.float32) -> types.Data:
+  """Device Data from a host MjData state (reference: io.py:1922)."""
+  d = _empty_data(m, dtype)
+  d = d.replace(
+      time=_jnp(mjd.time, dtype),
+      qpos=_jnp(mjd.qpos, dtype),
+      qvel=_jnp(mjd.qvel, dtype),
+      act=_jnp(mjd.act, dtype),
+      ctrl=_jnp(mjd.ctrl, dtype),
+      qfrc_applied=_jnp(mjd.qfrc_applied, dtype),
+      xfrc_applied=_jnp(mjd.xfrc_applied, dtype),
+      eq_active=jnp.asarray(mjd.eq_active.astype(bool)),
+      mocap_pos=_jnp(mjd.mocap_pos, dtype),
+      mocap_quat=_jnp(mjd.mocap_quat, dtype),
+      qacc_warmstart=_jnp(mjd.qacc_warmstart, dtype),
+      qacc=_jnp(mjd.qacc, dtype),
+  )
+  if nworld is not None:
+    d = jax.tree.map(lambda x: jnp.broadcast_to(x, (nworld,) + x.shape), d)
+  return d
+
+
+def get_data_into(mjd: mujoco.MjData, mjm: mujoco.MjModel, d: types.Data,
+                  world: int = 0):
+  """Copy one world of Data back into an MjData (reference: io.py:2216)."""
+  if d.qpos.ndim == 2:
+    d = jax.tree.map(lambda x: x[world], d)
+  mjd.time = float(d.time)
+  mjd.qpos[:] = np.asarray(d.qpos, np.float64)
+  mjd.qvel[:] = np.asarray(d.qvel, np.float64)
+  if mjm.na:
+    mjd.act[:] = np.asarray(d.act, np.float64)
+  if mjm.nu:
+    mjd.ctrl[:] = np.asarray(d.ctrl, np.float64)
+  mjd.qacc[:] = np.asarray(d.qacc, np.float64)
+  mjd.qacc_warmstart[:] = np.asarray(d.qacc_warmstart, np.float64)
+  mjd.xpos[:] = np.asarray(d.xpos, np.float64)
+  mjd.xquat[:] = np.asarray(d.xquat, np.float64)
+  mjd.xmat[:] = np.asarray(d.xmat, np.float64).reshape(mjm.nbody, 9)
+  if mjm.nmocap:
+    mjd.mocap_pos[:] = np.asarray(d.mocap_pos, np.float64)
+    mjd.mocap_quat[:] = np.asarray(d.mocap_quat, np.float64)
+  if mjm.nsensordata:
+    mjd.sensordata[:] = np.asarray(d.sensordata, np.float64)
+
+
+def reset_data(m: types.Model, d: types.Data) -> types.Data:
+  """Reset to qpos0 (reference: io.py:2455)."""
+  fresh = make_data(m, nworld=types.nworld(d))
+  return fresh

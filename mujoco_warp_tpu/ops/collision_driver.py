@@ -1,0 +1,276 @@
+"""Collision driver: static candidate table + vectorized narrowphase.
+
+TPU-native counterpart of reference mujoco_warp/_src/collision_driver.py.
+Key divergence (deliberate, documented): the reference runs a runtime
+broadphase (nxn/SAP, collision_driver.py:789/567) that appends candidate
+pairs through atomics, then narrowphase kernels allocate contact slots from
+a shared cross-world pool (collision_core.py:214).  On TPU we precompute the
+filtered pair list once on the host (same contype/conaffinity/parent/exclude
+filtering as mj_collideGeoms), give every pair a static contact-slot range,
+and run all pair narrowphases every step, masked by distance.  A bounding-
+sphere early-out is folded in by clamping far pairs' results (XLA fuses it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+
+from mujoco_warp_tpu import types
+from mujoco_warp_tpu.ops import collision_primitive, math
+
+_GT = types.GeomType
+_BIG = 1e10
+
+
+@dataclasses.dataclass
+class CollisionPairs:
+  """Static candidate-pair tables (host precompute output)."""
+
+  pair_geom1: np.ndarray  # (npair,) geom ids, collider-canonical order
+  pair_geom2: np.ndarray  # (npair,)
+  con_dim: np.ndarray  # (npair,) condim per pair
+  pair_explicit: np.ndarray  # (npair,) explicit <pair> id or -1
+  con_pair: np.ndarray  # (ncon,) slot -> pair index
+  groups: Tuple  # ((t1, t2, pair_idx_array, slot_start), ...)
+  pair_margin: np.ndarray  # explicit pair tables (npair_explicit rows)
+  pair_gap: np.ndarray
+  pair_friction: np.ndarray
+  pair_solref: np.ndarray
+  pair_solreffriction: np.ndarray
+  pair_solimp: np.ndarray
+
+
+def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
+  """Build the static filtered candidate pair table.
+
+  Mirrors mj_collideGeoms filtering (reference: collision_driver.py:99-281
+  BroadphaseFilter + io.py nxn precompute): contype/conaffinity bitmasks,
+  same-weld-body exclusion, weld-parent filtering, <exclude> signatures,
+  plus explicit <pair> elements appended with their own parameters.
+  """
+  excluded = set()
+  for sig in mjm.exclude_signature:
+    excluded.add((int(sig) >> 16, int(sig) & 0xFFFF))
+
+  g1s, g2s, expl = [], [], []
+  for a in range(mjm.ngeom):
+    for b in range(a + 1, mjm.ngeom):
+      ba, bb = mjm.geom_bodyid[a], mjm.geom_bodyid[b]
+      if ba == bb:
+        continue
+      wa, wb = mjm.body_weldid[ba], mjm.body_weldid[bb]
+      if wa == wb:
+        continue
+      if (int(mjm.geom_contype[a]) & int(mjm.geom_conaffinity[b])) == 0 and \
+         (int(mjm.geom_contype[b]) & int(mjm.geom_conaffinity[a])) == 0:
+        continue
+      if not (mjm.opt.disableflags & mujoco.mjtDisableBit.mjDSBL_FILTERPARENT):
+        wpa = mjm.body_weldid[mjm.body_parentid[wa]]
+        wpb = mjm.body_weldid[mjm.body_parentid[wb]]
+        if (wa == wpb and wb != 0) or (wb == wpa and wa != 0):
+          continue
+      if (min(ba, bb), max(ba, bb)) in excluded or \
+         (max(ba, bb), min(ba, bb)) in excluded:
+        continue
+      g1s.append(a)
+      g2s.append(b)
+      expl.append(-1)
+
+  # explicit <pair> elements (override filtering entirely)
+  for p in range(mjm.npair):
+    g1s.append(int(mjm.pair_geom1[p]))
+    g2s.append(int(mjm.pair_geom2[p]))
+    expl.append(p)
+
+  # canonical ordering: geom with the smaller type first (collider convention)
+  g1c, g2c = [], []
+  for a, b in zip(g1s, g2s):
+    if mjm.geom_type[a] <= mjm.geom_type[b]:
+      g1c.append(a)
+      g2c.append(b)
+    else:
+      g1c.append(b)
+      g2c.append(a)
+
+  # validate support and group by type pair
+  keys = []
+  for a, b in zip(g1c, g2c):
+    key = (int(mjm.geom_type[a]), int(mjm.geom_type[b]))
+    if key not in collision_primitive.PAIR_NCON:
+      raise NotImplementedError(
+          f'collision pair {(_GT(key[0]).name, _GT(key[1]).name)} '
+          'is not supported yet')
+    keys.append(key)
+
+  # condim per pair (priority rules, mj_collideGeoms semantics)
+  con_dim = np.zeros(len(g1c), np.int32)
+  for i, (a, b) in enumerate(zip(g1c, g2c)):
+    if expl[i] >= 0:
+      con_dim[i] = mjm.pair_dim[expl[i]]
+    else:
+      p1, p2 = mjm.geom_priority[a], mjm.geom_priority[b]
+      if p1 > p2:
+        con_dim[i] = mjm.geom_condim[a]
+      elif p2 > p1:
+        con_dim[i] = mjm.geom_condim[b]
+      else:
+        con_dim[i] = max(mjm.geom_condim[a], mjm.geom_condim[b])
+
+  # sort pairs grouped by type pair so contact slots are contiguous per group
+  order = sorted(range(len(g1c)), key=lambda i: keys[i])
+  g1 = np.asarray([g1c[i] for i in order], np.int32).reshape(-1)
+  g2 = np.asarray([g2c[i] for i in order], np.int32).reshape(-1)
+  con_dim = con_dim[order] if len(order) else con_dim
+  pair_explicit = np.asarray([expl[i] for i in order], np.int32).reshape(-1)
+  keys = [keys[i] for i in order]
+
+  groups = []
+  con_pair = []
+  slot = 0
+  i = 0
+  while i < len(keys):
+    j = i
+    while j < len(keys) and keys[j] == keys[i]:
+      j += 1
+    k = collision_primitive.PAIR_NCON[keys[i]]
+    idx = np.arange(i, j, dtype=np.int32)
+    groups.append((keys[i][0], keys[i][1], idx, slot))
+    # slot layout per group: contact-point-major (k, npairs) flattened
+    for ci in range(k):
+      con_pair.extend(range(i, j))
+    slot += k * (j - i)
+    i = j
+
+  return CollisionPairs(
+      pair_geom1=g1,
+      pair_geom2=g2,
+      con_dim=con_dim,
+      pair_explicit=pair_explicit,
+      con_pair=np.asarray(con_pair, np.int32).reshape(-1),
+      groups=tuple(groups),
+      pair_margin=np.asarray(mjm.pair_margin, np.float64).reshape(-1),
+      pair_gap=np.asarray(mjm.pair_gap, np.float64).reshape(-1),
+      pair_friction=np.asarray(mjm.pair_friction, np.float64).reshape(-1, 5),
+      pair_solref=np.asarray(mjm.pair_solref, np.float64).reshape(-1, types.NREF),
+      pair_solreffriction=np.asarray(
+          mjm.pair_solreffriction, np.float64).reshape(-1, types.NREF),
+      pair_solimp=np.asarray(mjm.pair_solimp, np.float64).reshape(-1, types.NIMP),
+  )
+
+
+def _mix_params(m: types.Model, g1: np.ndarray, g2: np.ndarray,
+                explicit: np.ndarray, dtype):
+  """Contact parameter mixing (reference: collision_core.py:317-473).
+
+  solmix-weighted solref/solimp, priority override, max margin/gap,
+  per-component max friction; explicit <pair> rows take their own params.
+  """
+  p1 = m.geom_priority[g1]
+  p2 = m.geom_priority[g2]
+  use1 = (p1 > p2).astype(dtype)[:, None]
+  use2 = (p2 > p1).astype(dtype)[:, None]
+  eq = 1.0 - use1 - use2
+  use1_j = jnp.asarray(use1)
+  use2_j = jnp.asarray(use2)
+  eq_j = jnp.asarray(eq)
+
+  s1 = m.geom_solmix[g1]
+  s2 = m.geom_solmix[g2]
+  mix = s1 / jnp.maximum(s1 + s2, 1e-12)
+  mix = jnp.where((s1 < 1e-12) & (s2 < 1e-12), 0.5, mix)
+  mix = jnp.where((s1 < 1e-12) & (s2 >= 1e-12), 0.0, mix)
+  mix = jnp.where((s1 >= 1e-12) & (s2 < 1e-12), 1.0, mix)
+  mix = (eq_j[:, 0] * mix + use1_j[:, 0] * 1.0 + use2_j[:, 0] * 0.0)[:, None]
+
+  sr1, sr2 = m.geom_solref[g1], m.geom_solref[g2]
+  standard = (sr1[:, [0]] > 0) & (sr2[:, [0]] > 0)
+  solref = jnp.where(standard, mix * sr1 + (1 - mix) * sr2,
+                     jnp.minimum(sr1, sr2))
+  solimp = mix * m.geom_solimp[g1] + (1 - mix) * m.geom_solimp[g2]
+
+  margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
+  gap = jnp.maximum(m.geom_gap[g1], m.geom_gap[g2])
+
+  f1, f2 = m.geom_friction[g1], m.geom_friction[g2]
+  fmax = jnp.maximum(f1, f2)
+  fr3 = eq_j * fmax + use1_j * f1 + use2_j * f2
+  friction = jnp.stack(
+      [fr3[:, 0], fr3[:, 0], fr3[:, 1], fr3[:, 2], fr3[:, 2]], axis=-1)
+
+  solreffriction = jnp.zeros_like(solref)
+
+  # explicit pair overrides (static mask)
+  has_expl = np.any(explicit >= 0)
+  if has_expl:
+    e = np.maximum(explicit, 0)
+    is_e = jnp.asarray((explicit >= 0).astype(dtype))[:, None]
+    solref = jnp.where(is_e > 0, m.pair_solref[e], solref)
+    solreffriction = jnp.where(is_e > 0, m.pair_solreffriction[e],
+                               solreffriction)
+    solimp = jnp.where(is_e > 0, m.pair_solimp[e], solimp)
+    margin = jnp.where(is_e[:, 0] > 0, m.pair_margin[e], margin)
+    gap = jnp.where(is_e[:, 0] > 0, m.pair_gap[e], gap)
+    friction = jnp.where(is_e > 0, m.pair_friction[e], friction)
+
+  # global contact override (EnableBit.OVERRIDE)
+  if m.opt.enableflags & types.EnableBit.OVERRIDE:
+    o = m.opt
+    margin = jnp.full_like(margin, o.o_margin)
+    solref = jnp.broadcast_to(o.o_solref, solref.shape)
+    solimp = jnp.broadcast_to(o.o_solimp, solimp.shape)
+    friction = jnp.broadcast_to(o.o_friction, friction.shape)
+
+  return solref, solreffriction, solimp, margin, gap, friction
+
+
+def collision(m: types.Model, d: types.Data) -> types.Data:
+  """Run narrowphase over all candidate pairs (reference: driver.py:885)."""
+  if m.ncon == 0 or (m.opt.disableflags & types.DisableBit.CONTACT):
+    return d
+  dtype = d.qpos.dtype
+
+  dist_slots = []
+  pos_slots = []
+  frame_slots = []
+  for (t1, t2, idx, slot) in m.pair_groups:
+    fn = collision_primitive.COLLIDERS[(t1, t2)]
+    g1 = m.pair_geom1[idx]
+    g2 = m.pair_geom2[idx]
+    dist, pos, normal = fn(m, d, g1, g2)  # (k, n), (k, n, 3), (k, n, 3)
+    k = dist.shape[0]
+    frame = math.make_frame(normal.reshape(-1, 3)).reshape(
+        k, len(idx), 3, 3)
+    dist_slots.append(dist.reshape(-1))
+    pos_slots.append(pos.reshape(-1, 3))
+    frame_slots.append(frame.reshape(-1, 3, 3))
+
+  dist = jnp.concatenate(dist_slots)
+  pos = jnp.concatenate(pos_slots, axis=0)
+  frame = jnp.concatenate(frame_slots, axis=0)
+
+  # per-slot parameters via the slot -> pair map
+  cp = m.con_pair
+  g1s = m.pair_geom1[cp]
+  g2s = m.pair_geom2[cp]
+  solref, solreffriction, solimp, margin, gap, friction = _mix_params(
+      m, g1s, g2s, m.pair_explicit[cp], dtype)
+  includemargin = margin - gap
+
+  contact = d.contact.replace(
+      dist=dist.astype(dtype),
+      pos=pos.astype(dtype),
+      frame=frame.astype(dtype),
+      includemargin=includemargin,
+      friction=friction,
+      solref=solref,
+      solreffriction=solreffriction,
+      solimp=solimp,
+  )
+  ncon_active = jnp.sum((dist < includemargin).astype(jnp.int32))
+  return d.replace(contact=contact, ncon_active=ncon_active)

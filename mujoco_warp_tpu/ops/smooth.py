@@ -1,0 +1,362 @@
+"""Smooth (unconstrained) dynamics: FK, CoM quantities, CRB, RNE, factor/solve.
+
+TPU-native counterpart of reference mujoco_warp/_src/smooth.py.  Design notes:
+
+* ``kinematics`` processes bodies level-by-level (static levels from
+  ``put_model``), each level fully vectorized; joint handling is specialized
+  at trace time by static joint-type tables (reference: smooth.py:448 runs
+  one thread per tree branch instead).
+* Everything downstream of FK is expressed as dense masked matrix products
+  against static ancestor/subtree masks, so CoM positions, CRB composite
+  inertias, the mass matrix, body velocities and the RNE bias force all map
+  onto the MXU (reference: smooth.py:825/1080/1500/2259 are scalar warp
+  kernels with per-body loops).
+* The mass matrix is dense ``(nv, nv)`` and factorized with a batched dense
+  Cholesky (reference: smooth.py:1341 mixes scalar/tile/sparse-LDL paths).
+
+All functions take a single-world ``Data`` and are vmapped by the caller.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_warp_tpu import types
+from mujoco_warp_tpu.ops import math
+
+_JT = types.JointType
+
+
+def _levels_max_jntnum(m: types.Model, ids: np.ndarray) -> int:
+  return int(m.body_jntnum[ids].max()) if ids.size else 0
+
+
+def kinematics(m: types.Model, d: types.Data) -> types.Data:
+  """Forward kinematics (reference: smooth.py:448 `kinematics`)."""
+  dtype = d.qpos.dtype
+  nb = m.nbody
+  qpos = d.qpos
+
+  xpos = jnp.zeros((nb, 3), dtype)
+  xquat = jnp.zeros((nb, 4), dtype).at[:, 0].set(1.0)
+  xanchor = jnp.zeros((m.njnt, 3), dtype)
+  xaxis = jnp.zeros((m.njnt, 3), dtype)
+
+  for ids in m.tree.body_levels:
+    par = m.body_parentid[ids]
+    pos = xpos[par] + math.rot_vec_quat(m.body_pos[ids], xquat[par])
+    quat = math.mul_quat(xquat[par], m.body_quat[ids])
+
+    for k in range(_levels_max_jntnum(m, ids)):
+      sub = np.nonzero(m.body_jntnum[ids] > k)[0]
+      jids_all = m.body_jntadr[ids[sub]] + k
+      for jt in np.unique(m.jnt_type[jids_all]):
+        sel = m.jnt_type[jids_all] == jt
+        s2 = sub[sel]  # indices into this level's local arrays
+        jj = jids_all[sel]  # joint ids
+        qadr = m.jnt_qposadr[jj]
+        if jt == _JT.FREE:
+          p = qpos[qadr[:, None] + np.arange(3)]
+          q = math.normalize_quat(qpos[qadr[:, None] + np.arange(3, 7)])
+          pos = pos.at[s2].set(p)
+          quat = quat.at[s2].set(q)
+          xanchor = xanchor.at[jj].set(p)
+          xaxis = xaxis.at[jj].set(
+              jnp.broadcast_to(jnp.array([0, 0, 1], dtype), (len(jj), 3)))
+        elif jt == _JT.BALL:
+          anchor = pos[s2] + math.rot_vec_quat(m.jnt_pos[jj], quat[s2])
+          axis = math.rot_vec_quat(m.jnt_axis[jj], quat[s2])
+          qloc = math.normalize_quat(qpos[qadr[:, None] + np.arange(4)])
+          qnew = math.mul_quat(quat[s2], qloc)
+          pnew = anchor - math.rot_vec_quat(m.jnt_pos[jj], qnew)
+          pos = pos.at[s2].set(pnew)
+          quat = quat.at[s2].set(qnew)
+          xanchor = xanchor.at[jj].set(anchor)
+          xaxis = xaxis.at[jj].set(axis)
+        elif jt == _JT.SLIDE:
+          axis = math.rot_vec_quat(m.jnt_axis[jj], quat[s2])
+          anchor = pos[s2] + math.rot_vec_quat(m.jnt_pos[jj], quat[s2])
+          pnew = pos[s2] + axis * (qpos[qadr] - m.qpos0[qadr])[:, None]
+          pos = pos.at[s2].set(pnew)
+          xanchor = xanchor.at[jj].set(anchor)
+          xaxis = xaxis.at[jj].set(axis)
+        else:  # HINGE
+          anchor = pos[s2] + math.rot_vec_quat(m.jnt_pos[jj], quat[s2])
+          axis = math.rot_vec_quat(m.jnt_axis[jj], quat[s2])
+          qloc = math.axis_angle_to_quat(
+              m.jnt_axis[jj], qpos[qadr] - m.qpos0[qadr])
+          qnew = math.mul_quat(quat[s2], qloc)
+          pnew = anchor - math.rot_vec_quat(m.jnt_pos[jj], qnew)
+          pos = pos.at[s2].set(pnew)
+          quat = quat.at[s2].set(qnew)
+          xanchor = xanchor.at[jj].set(anchor)
+          xaxis = xaxis.at[jj].set(axis)
+
+    quat = math.normalize_quat(quat)
+    xpos = xpos.at[ids].set(pos)
+    xquat = xquat.at[ids].set(quat)
+
+  # mocap override
+  if m.nmocap:
+    mocap_bodies = np.nonzero(m.body_mocapid >= 0)[0]
+    mid = m.body_mocapid[mocap_bodies]
+    xpos = xpos.at[mocap_bodies].set(d.mocap_pos[mid])
+    xquat = xquat.at[mocap_bodies].set(math.normalize_quat(d.mocap_quat[mid]))
+
+  xmat = math.quat_to_mat(xquat)
+  xipos = xpos + math.rot_vec_quat(m.body_ipos, xquat)
+  ximat = math.quat_to_mat(math.mul_quat(xquat, m.body_iquat))
+
+  gb = m.geom_bodyid
+  geom_xpos = xpos[gb] + math.rot_vec_quat(m.geom_pos, xquat[gb])
+  geom_xmat = math.quat_to_mat(math.mul_quat(xquat[gb], m.geom_quat))
+  if m.nsite:
+    sb = m.site_bodyid
+    site_xpos = xpos[sb] + math.rot_vec_quat(m.site_pos, xquat[sb])
+    site_xmat = math.quat_to_mat(math.mul_quat(xquat[sb], m.site_quat))
+  else:
+    site_xpos, site_xmat = d.site_xpos, d.site_xmat
+
+  return d.replace(
+      xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos, ximat=ximat,
+      xanchor=xanchor, xaxis=xaxis, geom_xpos=geom_xpos, geom_xmat=geom_xmat,
+      site_xpos=site_xpos, site_xmat=site_xmat)
+
+
+def com_pos(m: types.Model, d: types.Data) -> types.Data:
+  """Subtree CoM, spatial inertia, dof axes (reference: smooth.py:825).
+
+  Subtree sums are one masked matmul against the static subtree mask.
+  """
+  mass = m.body_mass
+  # subtree_com[i] = sum_{j in subtree(i)} mass_j * xipos_j / subtreemass_i
+  wpos = mass[:, None] * d.xipos
+  sub = jnp.asarray(m.tree.subtree_mask, d.qpos.dtype)
+  subtree_com = sub @ wpos / jnp.maximum(m.body_subtreemass, 1e-12)[:, None]
+
+  # spatial inertia of each body about its tree root's subtree CoM
+  root_com = subtree_com[m.body_rootid]
+  offset = d.xipos - root_com
+  cinert = math.inert_matrix(m.body_inertia, mass, offset, d.ximat)
+
+  # cdof: per-dof 6D motion axes in the com-rooted frame
+  cdof = jnp.zeros((m.nv, 6), d.qpos.dtype)
+  jtypes = m.jnt_type
+  for jt in np.unique(jtypes):
+    jids = np.nonzero(jtypes == jt)[0]
+    dadr = m.jnt_dofadr[jids]
+    bid = m.jnt_bodyid[jids]
+    com = root_com[bid]
+    if jt == _JT.FREE:
+      eye3 = jnp.eye(3, dtype=d.qpos.dtype)
+      # translation dofs: pure linear
+      trans = jnp.concatenate(
+          [jnp.zeros((len(jids), 3, 3), d.qpos.dtype),
+           jnp.broadcast_to(eye3, (len(jids), 3, 3))], axis=-1)
+      # rotation dofs: body-frame axes (xmat columns) through the body origin
+      off = d.xpos[bid] - com  # (n, 3)
+      axes = jnp.swapaxes(d.xmat[bid], -1, -2)  # (n, 3, 3) rows = axes
+      lin = jnp.cross(off[:, None, :], axes)
+      rot = jnp.concatenate([axes, lin], axis=-1)
+      cdof = cdof.at[dadr[:, None] + np.arange(3)].set(trans)
+      cdof = cdof.at[dadr[:, None] + np.arange(3, 6)].set(rot)
+    elif jt == _JT.BALL:
+      # axes are columns of xmat (body-frame axes in world coords)
+      axes = jnp.swapaxes(d.xmat[bid], -1, -2)  # (n, 3, 3) rows = axes
+      off = d.xanchor[jids] - com
+      lin = jnp.cross(off[:, None, :], axes)
+      rot = jnp.concatenate([axes, lin], axis=-1)
+      cdof = cdof.at[dadr[:, None] + np.arange(3)].set(rot)
+    elif jt == _JT.SLIDE:
+      axis = d.xaxis[jids]
+      v = jnp.concatenate([jnp.zeros_like(axis), axis], axis=-1)
+      cdof = cdof.at[dadr].set(v)
+    else:  # HINGE
+      axis = d.xaxis[jids]
+      off = d.xanchor[jids] - com
+      lin = jnp.cross(off, axis)
+      v = jnp.concatenate([axis, lin], axis=-1)
+      cdof = cdof.at[dadr].set(v)
+
+  return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
+
+
+def crb(m: types.Model, d: types.Data) -> types.Data:
+  """Composite rigid body inertia → dense mass matrix (smooth.py:1080).
+
+  crb[i] = Σ_{j ∈ subtree(i)} cinert[j] — a matmul against the subtree mask.
+  M[i, j] = cdof_j · (crb[body_i] cdof_i) on ancestor pairs — dense matmul
+  masked by the static ancestor mask, then symmetrized.  MXU-shaped.
+  """
+  dtype = d.qpos.dtype
+  sub = jnp.asarray(m.tree.subtree_mask, dtype)
+  crb_ = (sub @ d.cinert.reshape(m.nbody, 36)).reshape(m.nbody, 6, 6)
+
+  f = jnp.einsum('vij,vj->vi', crb_[m.dof_bodyid], d.cdof)
+  mask = jnp.asarray(m.tree.ancestor_mask, dtype)  # [i,j]: j anc-or-self of i
+  lower = (f @ d.cdof.T) * mask
+  qM = lower + lower.T - jnp.diag(jnp.diag(lower))
+  qM = qM + jnp.diag(m.dof_armature)
+  return d.replace(crb=crb_, qM=qM)
+
+
+def factor_m(m: types.Model, d: types.Data) -> types.Data:
+  """Cholesky factorization of the mass matrix (reference: smooth.py:1341)."""
+  qLD = jax.scipy.linalg.cholesky(d.qM, lower=True)
+  return d.replace(qLD=qLD)
+
+
+def solve_m(m: types.Model, d: types.Data, x: jax.Array) -> jax.Array:
+  """Solve M y = x using the dense factor (reference: smooth.py:3212)."""
+  y = jax.scipy.linalg.solve_triangular(d.qLD, x, lower=True)
+  return jax.scipy.linalg.solve_triangular(d.qLD.T, y, lower=False)
+
+
+def com_vel(m: types.Model, d: types.Data) -> types.Data:
+  """Body velocities and cdof time-derivatives (reference: smooth.py:2259).
+
+  cvel[b] = Σ_{dofs i ≤ b} cdof_i qvel_i  (masked matmul), and
+  cdof_dot_i = (partial velocity before dof i) × cdof_i where the partial
+  velocity uses the static ``cdofdot_mask`` (strict ancestors, plus the
+  translational dofs of the same free joint for its rotational dofs).
+  """
+  dtype = d.qpos.dtype
+  cdof_qvel = d.cdof * d.qvel[:, None]  # (nv, 6)
+  bd = jnp.asarray(m.tree.body_dof_mask, dtype)  # (nbody, nv)
+  cvel = bd @ cdof_qvel
+  cm = jnp.asarray(m.tree.cdofdot_mask, dtype)  # (nv, nv)
+  vel_before = cm @ cdof_qvel  # (nv, 6)
+  cdof_dot = math.motion_cross(vel_before, d.cdof)
+  return d.replace(cvel=cvel, cdof_dot=cdof_dot)
+
+
+def rne(m: types.Model, d: types.Data) -> types.Data:
+  """Recursive Newton-Euler bias force (reference: smooth.py:1500).
+
+  With all quantities in a common frame, the forward recursion collapses to
+  masked matmuls:
+    cacc[b]  = -gravity + Σ_{dofs i ≤ b} cdof_dot_i qvel_i
+    cfrc[b]  = cinert_b cacc_b + cvel_b ×* (cinert_b cvel_b)
+    qfrc_bias_i = cdof_i · Σ_{b ∈ subtree(body_i)} cfrc_b
+  """
+  dtype = d.qpos.dtype
+  bd = jnp.asarray(m.tree.body_dof_mask, dtype)
+  cacc0 = jnp.concatenate(
+      [jnp.zeros((3,), dtype), -m.opt.gravity.astype(dtype)])
+  if m.opt.disableflags & types.DisableBit.GRAVITY:
+    cacc0 = jnp.zeros((6,), dtype)
+  cacc = cacc0[None, :] + bd @ (d.cdof_dot * d.qvel[:, None])
+  cacc = cacc.at[0].set(jnp.zeros((6,), dtype))  # world body
+
+  iv = jnp.einsum('bij,bj->bi', d.cinert, d.cvel)
+  ia = jnp.einsum('bij,bj->bi', d.cinert, cacc)
+  cfrc = ia + math.motion_cross_force(d.cvel, iv)
+
+  ds = jnp.asarray(m.tree.dof_subtree_mask, dtype)  # (nv, nbody)
+  fsum = ds @ cfrc  # (nv, 6)
+  qfrc_bias = jnp.sum(fsum * d.cdof, axis=-1)
+  return d.replace(qfrc_bias=qfrc_bias)
+
+
+def tendon(m: types.Model, d: types.Data) -> types.Data:
+  """Fixed tendon lengths and Jacobians (reference: smooth.py:4194).
+
+  Only fixed (joint-sum) tendons for now; spatial wrapping comes with the
+  wrap-geometry phase.
+  """
+  if not m.ntendon:
+    return d
+  dtype = d.qpos.dtype
+  ten_J = jnp.zeros((m.ntendon, m.nv), dtype)
+  ten_length = jnp.zeros((m.ntendon,), dtype)
+  for t in range(m.ntendon):
+    adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
+    wtypes = m.wrap_type[adr:adr + num]
+    if not np.all(wtypes == types.WrapType.JOINT):
+      continue  # spatial tendon: handled elsewhere
+    jids = m.wrap_objid[adr:adr + num]
+    coef = m.wrap_prm[adr:adr + num]
+    qadr = m.jnt_qposadr[jids]
+    dadr = m.jnt_dofadr[jids]
+    ten_length = ten_length.at[t].set(jnp.sum(coef * d.qpos[qadr]))
+    ten_J = ten_J.at[t, dadr].set(coef)
+  return d.replace(ten_length=ten_length, ten_J=ten_J)
+
+
+def transmission(m: types.Model, d: types.Data) -> types.Data:
+  """Actuator lengths and moment arms (reference: smooth.py:2888).
+
+  Supports JOINT (all joint types), JOINTINPARENT, TENDON and SITE
+  transmissions; static dispatch on trntype.
+  """
+  if not m.nu:
+    return d
+  dtype = d.qpos.dtype
+  length = jnp.zeros((m.nu,), dtype)
+  moment = jnp.zeros((m.nu, m.nv), dtype)
+
+  trn = m.actuator_trntype
+  for u in range(m.nu):
+    tt = trn[u]
+    tid = int(m.actuator_trnid[u, 0])
+    gear = m.actuator_gear[u]
+    if tt in (types.TrnType.JOINT, types.TrnType.JOINTINPARENT):
+      jt = int(m.jnt_type[tid])
+      qadr = int(m.jnt_qposadr[tid])
+      dadr = int(m.jnt_dofadr[tid])
+      if jt in (_JT.SLIDE, _JT.HINGE):
+        length = length.at[u].set(
+            (d.qpos[qadr] - m.qpos0[qadr]) * gear[0])
+        moment = moment.at[u, dadr].set(gear[0])
+      elif jt == _JT.BALL:
+        # quaternion joint: length = gear · axis-angle(qpos)
+        q = math.normalize_quat(jax.lax.dynamic_slice(d.qpos, (qadr,), (4,)))
+        axis_angle = math.quat_sub(q, jnp.array([1.0, 0, 0, 0], dtype))
+        if tt == types.TrnType.JOINTINPARENT:
+          axis_angle = math.rot_vec_quat(axis_angle, math.quat_inv(q))
+          gearaxis = math.rot_vec_quat(gear[:3], math.quat_inv(q))
+        else:
+          gearaxis = gear[:3]
+        length = length.at[u].set(jnp.dot(axis_angle, gear[:3]))
+        moment = moment.at[u, dadr:dadr + 3].set(gearaxis)
+      elif jt == _JT.FREE:
+        length = length.at[u].set(0.0)
+        dadrs = dadr + np.arange(6)
+        if tt == types.TrnType.JOINT:
+          moment = moment.at[u, dadrs[:3]].set(gear[:3])
+          moment = moment.at[u, dadrs[3:]].set(gear[3:])
+        else:  # JOINTINPARENT: rotate gear into world/parent frame
+          q = math.normalize_quat(
+              jax.lax.dynamic_slice(d.qpos, (qadr + 3,), (4,)))
+          moment = moment.at[u, dadrs[:3]].set(
+              math.rot_vec_quat(gear[:3], math.quat_inv(q)))
+          moment = moment.at[u, dadrs[3:]].set(
+              math.rot_vec_quat(gear[3:], math.quat_inv(q)))
+    elif tt == types.TrnType.TENDON:
+      length = length.at[u].set(d.ten_length[tid] * gear[0])
+      moment = moment.at[u].set(d.ten_J[tid] * gear[0])
+    elif tt == types.TrnType.SITE:
+      # force/torque applied at a site along its frame, gear in site frame
+      from mujoco_warp_tpu.ops import support  # local to avoid cycle
+      refid = int(m.actuator_trnid[u, 1])
+      jacp, jacr = support.jac_site(m, d, tid)
+      frame = d.site_xmat[tid]
+      if refid == -1:
+        wrench_p = frame @ gear[:3]
+        wrench_r = frame @ gear[3:]
+        mom = jacp.T @ wrench_p + jacr.T @ wrench_r
+        length = length.at[u].set(0.0)
+        moment = moment.at[u].set(mom.astype(dtype))
+      else:
+        # site-to-site: length is distance between sites, moment via jacobians
+        jacp2, _ = support.jac_site(m, d, refid)
+        vec = d.site_xpos[tid] - d.site_xpos[refid]
+        dist = math.safe_norm(vec)
+        dirn = vec / jnp.maximum(dist, 1e-12)
+        length = length.at[u].set(dist * gear[0])
+        mom = (jacp - jacp2).T @ dirn * gear[0]
+        moment = moment.at[u].set(mom.astype(dtype))
+    # BODY (adhesion) and SLIDERCRANK: later phases
+  return d.replace(actuator_length=length, actuator_moment=moment)

@@ -1,0 +1,655 @@
+"""Core data model: enums, Option, Model, Data, Contact.
+
+TPU-native counterpart of the reference's data model
+(reference: mujoco_warp/_src/types.py:119-2553).  Differences by design:
+
+* ``Model``/``Data`` are JAX pytrees (frozen dataclasses).  Arrays that feed
+  compute are ``jax.Array`` leaves; sizes, index tables and type tables are
+  static aux data (numpy) driving trace-time specialization — the analog of
+  the reference's host-side precompute in ``put_model`` (io.py:287).
+* ``Data`` describes ONE world.  Batching over ``nworld`` is ``jax.vmap`` at
+  the public API layer, and scale-out is `nworld`-axis sharding over a device
+  mesh (reference instead launches every kernel with ``dim=(nworld, ...)``).
+* All shapes are static.  Contacts live in a fixed per-world candidate buffer
+  derived from the model's filtered geom-pair list, masked by distance —
+  replacing the reference's cross-world atomic slot allocator
+  (collision_core.py:214) which would need atomics TPUs don't have.
+* Matrices are dense and padded (mass matrix ``(nv, nv)``, Jacobians
+  ``(nefc, nv)``) so factorizations and products map onto the MXU.
+
+Enum values mirror MuJoCo's public C enums (verified against mujoco 3.10).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+from mujoco_warp_tpu.utils.structs import field, pytree_dataclass
+
+# Convenience alias: engine arrays are jax Arrays; static tables are numpy.
+Array = jax.Array
+
+
+class DisableBit(enum.IntFlag):
+  """mjtDisableBit — disable default feature bitflags."""
+
+  CONSTRAINT = 1 << 0
+  EQUALITY = 1 << 1
+  FRICTIONLOSS = 1 << 2
+  LIMIT = 1 << 3
+  CONTACT = 1 << 4
+  SPRING = 1 << 5
+  DAMPER = 1 << 6
+  GRAVITY = 1 << 7
+  CLAMPCTRL = 1 << 8
+  WARMSTART = 1 << 9
+  FILTERPARENT = 1 << 10
+  ACTUATION = 1 << 11
+  REFSAFE = 1 << 12
+  SENSOR = 1 << 13
+  MIDPHASE = 1 << 14
+  EULERDAMP = 1 << 15
+  AUTORESET = 1 << 16
+  NATIVECCD = 1 << 17
+  ISLAND = 1 << 18
+  MULTICCD = 1 << 19
+
+
+class EnableBit(enum.IntFlag):
+  """mjtEnableBit — enable optional feature bitflags."""
+
+  OVERRIDE = 1 << 0
+  ENERGY = 1 << 1
+  FWDINV = 1 << 2
+  INVDISCRETE = 1 << 3
+  SLEEP = 1 << 4
+  DIAGEXACT = 1 << 5
+
+
+class JointType(enum.IntEnum):
+  FREE = 0
+  BALL = 1
+  SLIDE = 2
+  HINGE = 3
+
+  @property
+  def dof_width(self) -> int:
+    return {0: 6, 1: 3, 2: 1, 3: 1}[self.value]
+
+  @property
+  def qpos_width(self) -> int:
+    return {0: 7, 1: 4, 2: 1, 3: 1}[self.value]
+
+
+class GeomType(enum.IntEnum):
+  PLANE = 0
+  HFIELD = 1
+  SPHERE = 2
+  CAPSULE = 3
+  ELLIPSOID = 4
+  CYLINDER = 5
+  BOX = 6
+  MESH = 7
+  SDF = 8
+
+
+class TrnType(enum.IntEnum):
+  JOINT = 0
+  JOINTINPARENT = 1
+  SLIDERCRANK = 2
+  TENDON = 3
+  SITE = 4
+  BODY = 5
+
+
+class DynType(enum.IntEnum):
+  NONE = 0
+  INTEGRATOR = 1
+  FILTER = 2
+  FILTEREXACT = 3
+  MUSCLE = 4
+  DCMOTOR = 5
+  USER = 6
+
+
+class GainType(enum.IntEnum):
+  FIXED = 0
+  AFFINE = 1
+  MUSCLE = 2
+  DCMOTOR = 3
+  USER = 4
+
+
+class BiasType(enum.IntEnum):
+  NONE = 0
+  AFFINE = 1
+  MUSCLE = 2
+  DCMOTOR = 3
+  USER = 4
+
+
+class EqType(enum.IntEnum):
+  CONNECT = 0
+  WELD = 1
+  JOINT = 2
+  TENDON = 3
+  FLEX = 4
+  FLEXVERT = 5
+  FLEXSTRAIN = 6
+  DISTANCE = 7
+
+
+class WrapType(enum.IntEnum):
+  NONE = 0
+  JOINT = 1
+  PULLEY = 2
+  SITE = 3
+  SPHERE = 4
+  CYLINDER = 5
+
+
+class SolverType(enum.IntEnum):
+  PGS = 0  # unsupported (as in reference)
+  CG = 1
+  NEWTON = 2
+
+
+class IntegratorType(enum.IntEnum):
+  EULER = 0
+  RK4 = 1
+  IMPLICIT = 2
+  IMPLICITFAST = 3
+
+
+class ConeType(enum.IntEnum):
+  PYRAMIDAL = 0
+  ELLIPTIC = 1
+
+
+class BroadphaseType(enum.IntEnum):
+  """Broadphase algorithm selection (reference: types.py BroadphaseType)."""
+
+  NXN = 0
+  SAP = 1
+
+
+class ObjType(enum.IntEnum):
+  UNKNOWN = 0
+  BODY = 1
+  XBODY = 2
+  JOINT = 3
+  GEOM = 5
+  SITE = 6
+  CAMERA = 7
+
+
+class SensorType(enum.IntEnum):
+  TOUCH = 0
+  ACCELEROMETER = 1
+  VELOCIMETER = 2
+  GYRO = 3
+  FORCE = 4
+  TORQUE = 5
+  MAGNETOMETER = 6
+  RANGEFINDER = 7
+  CAMPROJECTION = 8
+  JOINTPOS = 9
+  JOINTVEL = 10
+  TENDONPOS = 11
+  TENDONVEL = 12
+  ACTUATORPOS = 13
+  ACTUATORVEL = 14
+  ACTUATORFRC = 15
+  JOINTACTFRC = 16
+  TENDONACTFRC = 17
+  BALLQUAT = 18
+  BALLANGVEL = 19
+  JOINTLIMITPOS = 20
+  JOINTLIMITVEL = 21
+  JOINTLIMITFRC = 22
+  TENDONLIMITPOS = 23
+  TENDONLIMITVEL = 24
+  TENDONLIMITFRC = 25
+  FRAMEPOS = 26
+  FRAMEQUAT = 27
+  FRAMEXAXIS = 28
+  FRAMEYAXIS = 29
+  FRAMEZAXIS = 30
+  FRAMELINVEL = 31
+  FRAMEANGVEL = 32
+  FRAMELINACC = 33
+  FRAMEANGACC = 34
+  SUBTREECOM = 35
+  SUBTREELINVEL = 36
+  SUBTREEANGMOM = 37
+  INSIDESITE = 38
+  GEOMDIST = 39
+  GEOMNORMAL = 40
+  GEOMFROMTO = 41
+  CONTACT = 42
+  E_POTENTIAL = 43
+  E_KINETIC = 44
+  CLOCK = 45
+
+
+class OverflowType(enum.IntFlag):
+  """Per-world overflow accounting (reference: types.py:149-172).
+
+  On TPU shapes are static, so "overflow" means a fixed-capacity buffer
+  saturated and results were truncated/masked rather than corrupted.
+  """
+
+  CONTACT = 1 << 0
+  CONSTRAINT = 1 << 1
+  SOLVER = 1 << 2
+
+
+# Treat MuJoCo solref/solimp semantics: standard (timeconst, dampratio) or
+# direct (negative) parametrization.
+NREF = 2
+NIMP = 5
+
+
+@pytree_dataclass
+class Option:
+  """Physics options (reference: mujoco_warp/_src/types.py:833-898).
+
+  Scalar knobs that feed kernels stay as arrays so they can be swept without
+  recompiling; anything that changes program structure is static.
+  """
+
+  timestep: Array  # ()
+  impratio: Array  # ()
+  tolerance: Array  # ()
+  ls_tolerance: Array  # ()
+  gravity: Array  # (3,)
+  wind: Array  # (3,)
+  magnetic: Array  # (3,)
+  density: Array  # ()
+  viscosity: Array  # ()
+  # contact override (EnableBit.OVERRIDE)
+  o_margin: Array  # ()
+  o_solref: Array  # (NREF,)
+  o_solimp: Array  # (NIMP,)
+  o_friction: Array  # (5,)
+  # static (change → recompile)
+  integrator: int = field(static=True, default=IntegratorType.EULER)
+  cone: int = field(static=True, default=ConeType.PYRAMIDAL)
+  solver: int = field(static=True, default=SolverType.NEWTON)
+  iterations: int = field(static=True, default=100)
+  ls_iterations: int = field(static=True, default=50)
+  disableflags: int = field(static=True, default=0)
+  enableflags: int = field(static=True, default=0)
+  broadphase: int = field(static=True, default=BroadphaseType.NXN)
+  # run collision detection every step (reference: run_collision_detection)
+  run_collision_detection: bool = field(static=True, default=True)
+  ccd_iterations: int = field(static=True, default=50)
+  sdf_iterations: int = field(static=True, default=10)
+  sdf_initpoints: int = field(static=True, default=40)
+
+
+@pytree_dataclass
+class Statistic:
+  """Model statistics (reference: types.py:919)."""
+
+  meaninertia: Array  # ()
+
+
+@pytree_dataclass
+class Contact:
+  """Fixed-capacity per-world contact buffer (reference: types.py:1951).
+
+  ``ncon`` slots correspond 1:1 to the model's static candidate list
+  (collision pair table), each slot holding up to ``max_pair_contacts``
+  contact points.  A slot is live iff ``dist < includemargin``; dead slots
+  carry a large positive ``dist`` so constraint rows mask out cleanly.
+  All leading dims are the static candidate-contact count ``ncon``.
+  """
+
+  dist: Array  # (ncon,)
+  pos: Array  # (ncon, 3)
+  frame: Array  # (ncon, 3, 3) rows: normal, tangent1, tangent2
+  includemargin: Array  # (ncon,)
+  friction: Array  # (ncon, 5)
+  solref: Array  # (ncon, NREF)
+  solreffriction: Array  # (ncon, NREF)
+  solimp: Array  # (ncon, NIMP)
+  # static per-slot metadata (from the model's candidate list)
+  dim: np.ndarray = field(static=True, default=None)  # (ncon,) condim
+  geom1: np.ndarray = field(static=True, default=None)  # (ncon,)
+  geom2: np.ndarray = field(static=True, default=None)  # (ncon,)
+  # efc row address of each contact's first constraint row (static layout)
+  efc_address: np.ndarray = field(static=True, default=None)  # (ncon,)
+
+
+@pytree_dataclass
+class TreeInfo:
+  """Static kinematic-tree traversal structure.
+
+  Computed once in ``put_model`` — the analog of the reference's
+  ``body_tree`` levels (io.py) that make FK level-parallel.
+  """
+
+  # tuple over depth levels; each entry is an int array of body ids
+  body_levels: Tuple[np.ndarray, ...] = field(static=True, default=())
+  # bodies in reverse topological order grouped by level (for backward pass)
+  body_levels_rev: Tuple[np.ndarray, ...] = field(static=True, default=())
+  # (nv, nv) bool: mask[i, j] = dof j is dof i or an ancestor of dof i
+  ancestor_mask: np.ndarray = field(static=True, default=None)
+  # (nbody, nbody) bool: subtree_mask[i, j] = body j is in subtree of body i
+  subtree_mask: np.ndarray = field(static=True, default=None)
+  # (nbody, nv) bool: dof j actuates body i (j on i's ancestor chain)
+  body_dof_mask: np.ndarray = field(static=True, default=None)
+  # (nv, nbody) bool: body j is in the subtree of dof i's body
+  dof_subtree_mask: np.ndarray = field(static=True, default=None)
+  # (nv, nv) bool: dofs whose velocity precedes dof i (for cdof_dot)
+  cdofdot_mask: np.ndarray = field(static=True, default=None)
+
+
+@pytree_dataclass
+class Model:
+  """Device-resident model (reference: mujoco_warp/_src/types.py:979).
+
+  Static index/type tables are numpy (trace-time constants); physical
+  parameters are jax arrays.  Fields follow MuJoCo naming so the reference's
+  users find everything where they expect it.
+  """
+
+  # ------------------------------------------------------------------ sizes
+  nq: int = field(static=True, default=0)
+  nv: int = field(static=True, default=0)
+  nu: int = field(static=True, default=0)
+  na: int = field(static=True, default=0)
+  nbody: int = field(static=True, default=0)
+  njnt: int = field(static=True, default=0)
+  ngeom: int = field(static=True, default=0)
+  nsite: int = field(static=True, default=0)
+  ncam: int = field(static=True, default=0)
+  nlight: int = field(static=True, default=0)
+  nmocap: int = field(static=True, default=0)
+  neq: int = field(static=True, default=0)
+  ntendon: int = field(static=True, default=0)
+  nwrap: int = field(static=True, default=0)
+  nsensor: int = field(static=True, default=0)
+  nsensordata: int = field(static=True, default=0)
+  # constraint-row layout (static): counts of equality/friction/limit rows
+  ne: int = field(static=True, default=0)
+  nf: int = field(static=True, default=0)
+  nl: int = field(static=True, default=0)
+  nefc: int = field(static=True, default=0)  # total rows incl. contacts
+  ncon: int = field(static=True, default=0)  # candidate contact slots
+
+  opt: Option = None
+  stat: Statistic = None
+  tree: TreeInfo = None
+
+  # ------------------------------------------------------------------ qpos
+  qpos0: Array = None  # (nq,)
+  qpos_spring: Array = None  # (nq,)
+
+  # ------------------------------------------------------------------ body
+  body_parentid: np.ndarray = field(static=True, default=None)
+  body_rootid: np.ndarray = field(static=True, default=None)
+  body_weldid: np.ndarray = field(static=True, default=None)
+  body_mocapid: np.ndarray = field(static=True, default=None)
+  body_jntadr: np.ndarray = field(static=True, default=None)
+  body_jntnum: np.ndarray = field(static=True, default=None)
+  body_dofadr: np.ndarray = field(static=True, default=None)
+  body_dofnum: np.ndarray = field(static=True, default=None)
+  body_geomadr: np.ndarray = field(static=True, default=None)
+  body_geomnum: np.ndarray = field(static=True, default=None)
+  body_treeid: np.ndarray = field(static=True, default=None)
+  body_pos: Array = None  # (nbody, 3)
+  body_quat: Array = None  # (nbody, 4)
+  body_ipos: Array = None  # (nbody, 3)
+  body_iquat: Array = None  # (nbody, 4)
+  body_mass: Array = None  # (nbody,)
+  body_subtreemass: Array = None  # (nbody,)
+  body_inertia: Array = None  # (nbody, 3)
+  body_invweight0: Array = None  # (nbody, 2)
+  body_gravcomp: Array = None  # (nbody,)
+
+  # ------------------------------------------------------------------ joint
+  jnt_type: np.ndarray = field(static=True, default=None)
+  jnt_qposadr: np.ndarray = field(static=True, default=None)
+  jnt_dofadr: np.ndarray = field(static=True, default=None)
+  jnt_bodyid: np.ndarray = field(static=True, default=None)
+  jnt_limited: np.ndarray = field(static=True, default=None)
+  jnt_actfrclimited: np.ndarray = field(static=True, default=None)
+  jnt_actgravcomp: np.ndarray = field(static=True, default=None)
+  jnt_solref: Array = None  # (njnt, NREF)
+  jnt_solimp: Array = None  # (njnt, NIMP)
+  jnt_pos: Array = None  # (njnt, 3)
+  jnt_axis: Array = None  # (njnt, 3)
+  jnt_stiffness: Array = None  # (njnt,)
+  jnt_range: Array = None  # (njnt, 2)
+  jnt_actfrcrange: Array = None  # (njnt, 2)
+  jnt_margin: Array = None  # (njnt,)
+
+  # ------------------------------------------------------------------ dof
+  dof_bodyid: np.ndarray = field(static=True, default=None)
+  dof_jntid: np.ndarray = field(static=True, default=None)
+  dof_parentid: np.ndarray = field(static=True, default=None)
+  dof_treeid: np.ndarray = field(static=True, default=None)
+  dof_solref: Array = None  # (nv, NREF)
+  dof_solimp: Array = None  # (nv, NIMP)
+  dof_frictionloss: Array = None  # (nv,)
+  dof_armature: Array = None  # (nv,)
+  dof_damping: Array = None  # (nv,)
+  dof_invweight0: Array = None  # (nv,)
+
+  # ------------------------------------------------------------------ geom
+  geom_type: np.ndarray = field(static=True, default=None)
+  geom_contype: np.ndarray = field(static=True, default=None)
+  geom_conaffinity: np.ndarray = field(static=True, default=None)
+  geom_condim: np.ndarray = field(static=True, default=None)
+  geom_bodyid: np.ndarray = field(static=True, default=None)
+  geom_dataid: np.ndarray = field(static=True, default=None)
+  geom_priority: np.ndarray = field(static=True, default=None)
+  geom_solmix: Array = None  # (ngeom,)
+  geom_solref: Array = None  # (ngeom, NREF)
+  geom_solimp: Array = None  # (ngeom, NIMP)
+  geom_size: Array = None  # (ngeom, 3)
+  geom_rbound: Array = None  # (ngeom,)
+  geom_pos: Array = None  # (ngeom, 3)
+  geom_quat: Array = None  # (ngeom, 4)
+  geom_friction: Array = None  # (ngeom, 3)
+  geom_margin: Array = None  # (ngeom,)
+  geom_gap: Array = None  # (ngeom,)
+
+  # ------------------------------------------------------------------ site
+  site_bodyid: np.ndarray = field(static=True, default=None)
+  site_pos: Array = None  # (nsite, 3)
+  site_quat: Array = None  # (nsite, 4)
+
+  # ------------------------------------------------------------------ equality
+  eq_type: np.ndarray = field(static=True, default=None)
+  eq_obj1id: np.ndarray = field(static=True, default=None)
+  eq_obj2id: np.ndarray = field(static=True, default=None)
+  eq_objtype: np.ndarray = field(static=True, default=None)
+  eq_active0: np.ndarray = field(static=True, default=None)
+  eq_solref: Array = None  # (neq, NREF)
+  eq_solimp: Array = None  # (neq, NIMP)
+  eq_data: Array = None  # (neq, 11)
+
+  # ------------------------------------------------------------------ tendon
+  tendon_adr: np.ndarray = field(static=True, default=None)
+  tendon_num: np.ndarray = field(static=True, default=None)
+  tendon_limited: np.ndarray = field(static=True, default=None)
+  tendon_actfrclimited: np.ndarray = field(static=True, default=None)
+  tendon_solref_lim: Array = None  # (ntendon, NREF)
+  tendon_solimp_lim: Array = None  # (ntendon, NIMP)
+  tendon_solref_fri: Array = None  # (ntendon, NREF)
+  tendon_solimp_fri: Array = None  # (ntendon, NIMP)
+  tendon_range: Array = None  # (ntendon, 2)
+  tendon_actfrcrange: Array = None  # (ntendon, 2)
+  tendon_margin: Array = None  # (ntendon,)
+  tendon_stiffness: Array = None  # (ntendon,)
+  tendon_damping: Array = None  # (ntendon,)
+  tendon_armature: Array = None  # (ntendon,)
+  tendon_frictionloss: Array = None  # (ntendon,)
+  tendon_lengthspring: Array = None  # (ntendon, 2)
+  tendon_length0: Array = None  # (ntendon,)
+  tendon_invweight0: Array = None  # (ntendon,)
+  wrap_objid: np.ndarray = field(static=True, default=None)
+  wrap_prm: Array = None  # (nwrap,)
+  wrap_type: np.ndarray = field(static=True, default=None)
+
+  # ------------------------------------------------------------------ actuator
+  actuator_trntype: np.ndarray = field(static=True, default=None)
+  actuator_dyntype: np.ndarray = field(static=True, default=None)
+  actuator_gaintype: np.ndarray = field(static=True, default=None)
+  actuator_biastype: np.ndarray = field(static=True, default=None)
+  actuator_trnid: np.ndarray = field(static=True, default=None)
+  actuator_actadr: np.ndarray = field(static=True, default=None)
+  actuator_actnum: np.ndarray = field(static=True, default=None)
+  actuator_ctrllimited: np.ndarray = field(static=True, default=None)
+  actuator_forcelimited: np.ndarray = field(static=True, default=None)
+  actuator_actlimited: np.ndarray = field(static=True, default=None)
+  actuator_actearly: np.ndarray = field(static=True, default=None)
+  actuator_dynprm: Array = None  # (nu, 10)
+  actuator_gainprm: Array = None  # (nu, 10)
+  actuator_biasprm: Array = None  # (nu, 10)
+  actuator_ctrlrange: Array = None  # (nu, 2)
+  actuator_forcerange: Array = None  # (nu, 2)
+  actuator_actrange: Array = None  # (nu, 2)
+  actuator_gear: Array = None  # (nu, 6)
+  actuator_cranklength: Array = None  # (nu,)
+  actuator_acc0: Array = None  # (nu,)
+  actuator_lengthrange: Array = None  # (nu, 2)
+  actuator_length0: Array = None  # (nu,)
+
+  # ------------------------------------------------------------------ sensor
+  sensor_type: np.ndarray = field(static=True, default=None)
+  sensor_datatype: np.ndarray = field(static=True, default=None)
+  sensor_needstage: np.ndarray = field(static=True, default=None)
+  sensor_objtype: np.ndarray = field(static=True, default=None)
+  sensor_objid: np.ndarray = field(static=True, default=None)
+  sensor_reftype: np.ndarray = field(static=True, default=None)
+  sensor_refid: np.ndarray = field(static=True, default=None)
+  sensor_dim: np.ndarray = field(static=True, default=None)
+  sensor_adr: np.ndarray = field(static=True, default=None)
+  sensor_cutoff: Array = None  # (nsensor,)
+
+  # ------------------------------------------------------- collision tables
+  # static candidate geom pairs after contype/conaffinity + parent filtering
+  # (reference: io.py nxn pair precompute; collision_driver.py:47)
+  pair_geom1: np.ndarray = field(static=True, default=None)  # (npair,)
+  pair_geom2: np.ndarray = field(static=True, default=None)  # (npair,)
+  # per candidate-contact slot: candidate pair index (slots expand pairs by
+  # max contacts per pair type)
+  con_pair: np.ndarray = field(static=True, default=None)  # (ncon,)
+  # efc row address of each contact slot's first row (static layout)
+  con_efc_address: np.ndarray = field(static=True, default=None)  # (ncon,)
+  # narrowphase dispatch groups: tuple of
+  # (geomtype1, geomtype2, pair_index_array, contact_slot_start)
+  pair_groups: Tuple[Any, ...] = field(static=True, default=())
+  # per candidate pair: explicit <pair> id (into pair_* override tables) or -1
+  pair_explicit: np.ndarray = field(static=True, default=None)
+
+  # explicit <pair> overrides (npair_explicit entries appended to tables)
+  pair_dim: np.ndarray = field(static=True, default=None)
+  pair_margin: Array = None
+  pair_gap: Array = None
+  pair_friction: Array = None
+  pair_solref: Array = None
+  pair_solreffriction: Array = None
+  pair_solimp: Array = None
+
+
+@pytree_dataclass
+class Data:
+  """Single-world dynamic state (reference: mujoco_warp/_src/types.py:2050).
+
+  The public API batches this with a leading ``nworld`` axis via vmap.
+  """
+
+  # ------------------------------------------------------------- input state
+  time: Array = None  # ()
+  qpos: Array = None  # (nq,)
+  qvel: Array = None  # (nv,)
+  act: Array = None  # (na,)
+  ctrl: Array = None  # (nu,)
+  qfrc_applied: Array = None  # (nv,)
+  xfrc_applied: Array = None  # (nbody, 6) [torque last: (force, torque)]
+  eq_active: Array = None  # (neq,) bool
+  mocap_pos: Array = None  # (nmocap, 3)
+  mocap_quat: Array = None  # (nmocap, 4)
+
+  # --------------------------------------------------------------- position
+  xpos: Array = None  # (nbody, 3)
+  xquat: Array = None  # (nbody, 4)
+  xmat: Array = None  # (nbody, 3, 3)
+  xipos: Array = None  # (nbody, 3)
+  ximat: Array = None  # (nbody, 3, 3)
+  xanchor: Array = None  # (njnt, 3)
+  xaxis: Array = None  # (njnt, 3)
+  geom_xpos: Array = None  # (ngeom, 3)
+  geom_xmat: Array = None  # (ngeom, 3, 3)
+  site_xpos: Array = None  # (nsite, 3)
+  site_xmat: Array = None  # (nsite, 3, 3)
+  subtree_com: Array = None  # (nbody, 3)
+  cinert: Array = None  # (nbody, 6, 6) spatial inertia in com-rooted frame
+  cdof: Array = None  # (nv, 6)
+  crb: Array = None  # (nbody, 6, 6) composite rigid body inertia
+  qM: Array = None  # (nv, nv) dense mass matrix
+  qLD: Array = None  # (nv, nv) dense Cholesky factor (lower)
+  ten_length: Array = None  # (ntendon,)
+  ten_J: Array = None  # (ntendon, nv)
+  actuator_length: Array = None  # (nu,)
+  actuator_moment: Array = None  # (nu, nv)
+
+  # --------------------------------------------------------------- velocity
+  cvel: Array = None  # (nbody, 6)
+  cdof_dot: Array = None  # (nv, 6)
+  actuator_velocity: Array = None  # (nu,)
+  ten_velocity: Array = None  # (ntendon,)
+  qfrc_bias: Array = None  # (nv,)
+  qfrc_spring: Array = None  # (nv,)
+  qfrc_damper: Array = None  # (nv,)
+  qfrc_gravcomp: Array = None  # (nv,)
+  qfrc_fluid: Array = None  # (nv,)
+  qfrc_passive: Array = None  # (nv,)
+
+  # ------------------------------------------------------------- actuation
+  act_dot: Array = None  # (na,)
+  actuator_force: Array = None  # (nu,)
+  qfrc_actuator: Array = None  # (nv,)
+
+  # ----------------------------------------------------------- acceleration
+  qfrc_smooth: Array = None  # (nv,)
+  qacc_smooth: Array = None  # (nv,)
+  qfrc_constraint: Array = None  # (nv,)
+  qacc: Array = None  # (nv,)
+  qacc_warmstart: Array = None  # (nv,)
+
+  # ------------------------------------------------------------- constraint
+  contact: Contact = None
+  efc_J: Array = None  # (nefc, nv)
+  efc_pos: Array = None  # (nefc,)
+  efc_margin: Array = None  # (nefc,)
+  efc_frictionloss: Array = None  # (nefc,)
+  efc_D: Array = None  # (nefc,)
+  efc_aref: Array = None  # (nefc,)
+  efc_force: Array = None  # (nefc,)
+  efc_active: Array = None  # (nefc,) bool: row participates this step
+  ne_active: Array = None  # () int32 (counts for metrics/sensors)
+  nf_active: Array = None  # ()
+  nl_active: Array = None  # ()
+  ncon_active: Array = None  # ()
+  nefc_active: Array = None  # ()
+
+  # ------------------------------------------------------------ diagnostics
+  solver_niter: Array = None  # () int32
+  overflow: Array = None  # () int32 OverflowType bits
+  energy: Array = None  # (2,) potential, kinetic
+  sensordata: Array = None  # (nsensordata,)
+
+
+def nworld(d: Data) -> Optional[int]:
+  """Batch size of a batched Data, or None if single-world."""
+  return d.qpos.shape[0] if d.qpos.ndim == 2 else None
