@@ -29,7 +29,9 @@ _JT = types.JointType
 
 
 def _jnp(x, dtype=np.float32):
-  return jnp.asarray(np.asarray(x), dtype=dtype)
+  # convert dtype host-side: jnp.asarray of a ready numpy array is a pure
+  # device_put, avoiding a per-shape XLA convert kernel in eager mode.
+  return jnp.asarray(np.asarray(x, dtype=dtype))
 
 
 def _tree_info(mjm: mujoco.MjModel) -> types.TreeInfo:
@@ -96,35 +98,96 @@ def _tree_info(mjm: mujoco.MjModel) -> types.TreeInfo:
   )
 
 
-def _efc_layout(mjm: mujoco.MjModel, con_dim: np.ndarray,
-                cone: int) -> Tuple[int, int, int, int, np.ndarray]:
+_EQ_NROW = {int(types.EqType.CONNECT): 3, int(types.EqType.WELD): 6,
+            int(types.EqType.JOINT): 1, int(types.EqType.TENDON): 1}
+
+
+def _efc_layout(
+    mjm: mujoco.MjModel, con_dim: np.ndarray, cone: int,
+) -> Tuple[int, int, int, int, np.ndarray, types.EfcLayout]:
   """Static constraint-row layout (reference: constraint.py:4870 counting).
 
-  Rows: equality | dof friction | tendon friction | joint limits | tendon
-  limits | contacts.  Returns (ne, nf, nl, nefc, con_efc_address).
+  Rows: equality (eq id order) | dof friction | tendon friction | joint
+  limits | tendon limits | contacts.  Returns
+  (ne, nf, nl, nefc, con_efc_address, EfcLayout).
   """
-  ne = 0
-  for et in mjm.eq_type:
-    ne += {int(types.EqType.CONNECT): 3, int(types.EqType.WELD): 6,
-           int(types.EqType.JOINT): 1, int(types.EqType.TENDON): 1}.get(
-               int(et), 0)
-  nf = int(np.sum(mjm.dof_frictionloss > 0))
-  if mjm.ntendon:
-    nf += int(np.sum(mjm.tendon_frictionloss > 0))
-  nl = int(np.sum(mjm.jnt_limited))
-  if mjm.ntendon:
-    nl += int(np.sum(mjm.tendon_limited))
+  _CT = types.ConstraintType
+  adr = 0
+  eq_groups = {t: ([], []) for t in ('connect', 'weld', 'joint', 'tendon')}
+  efc_type, efc_id = [], []
+  for eqid, et in enumerate(mjm.eq_type):
+    et = int(et)
+    if et not in _EQ_NROW:
+      raise NotImplementedError(f'equality type {et} not supported')
+    name = {int(types.EqType.CONNECT): 'connect',
+            int(types.EqType.WELD): 'weld',
+            int(types.EqType.JOINT): 'joint',
+            int(types.EqType.TENDON): 'tendon'}[et]
+    eq_groups[name][0].append(eqid)
+    eq_groups[name][1].append(adr)
+    n = _EQ_NROW[et]
+    efc_type += [int(_CT.EQUALITY)] * n
+    efc_id += [eqid] * n
+    adr += n
+  ne = adr
 
-  rows = np.zeros(len(con_dim), dtype=np.int32)
+  fri_dof = np.nonzero(mjm.dof_frictionloss > 0)[0].astype(np.int32)
+  fri_dof_adr = adr + np.arange(len(fri_dof), dtype=np.int32)
+  efc_type += [int(_CT.FRICTION_DOF)] * len(fri_dof)
+  efc_id += list(fri_dof)
+  adr += len(fri_dof)
+  fri_ten = (np.nonzero(mjm.tendon_frictionloss > 0)[0].astype(np.int32)
+             if mjm.ntendon else np.zeros(0, np.int32))
+  fri_ten_adr = adr + np.arange(len(fri_ten), dtype=np.int32)
+  efc_type += [int(_CT.FRICTION_TENDON)] * len(fri_ten)
+  efc_id += list(fri_ten)
+  adr += len(fri_ten)
+  nf = adr - ne
+
+  lim_jnt = np.nonzero(mjm.jnt_limited)[0].astype(np.int32)
+  lim_jnt_adr = adr + np.arange(len(lim_jnt), dtype=np.int32)
+  efc_type += [int(_CT.LIMIT_JOINT)] * len(lim_jnt)
+  efc_id += list(lim_jnt)
+  adr += len(lim_jnt)
+  lim_ten = (np.nonzero(mjm.tendon_limited)[0].astype(np.int32)
+             if mjm.ntendon else np.zeros(0, np.int32))
+  lim_ten_adr = adr + np.arange(len(lim_ten), dtype=np.int32)
+  efc_type += [int(_CT.LIMIT_TENDON)] * len(lim_ten)
+  efc_id += list(lim_ten)
+  adr += len(lim_ten)
+  nl = adr - ne - nf
+
+  con_adr = np.zeros(len(con_dim), np.int32)
   for i, dim in enumerate(con_dim):
-    if cone == types.ConeType.PYRAMIDAL:
-      rows[i] = 1 if dim == 1 else 2 * (dim - 1)
+    con_adr[i] = adr
+    if int(dim) == 1:
+      ct, nrow = _CT.CONTACT_FRICTIONLESS, 1
+    elif cone == types.ConeType.PYRAMIDAL:
+      ct, nrow = _CT.CONTACT_PYRAMIDAL, 2 * (int(dim) - 1)
     else:
-      rows[i] = dim
-  adr = ne + nf + nl + np.concatenate([[0], np.cumsum(rows)[:-1]]).astype(
-      np.int32) if len(con_dim) else np.zeros(0, np.int32)
-  nefc = ne + nf + nl + int(rows.sum())
-  return ne, nf, nl, nefc, adr
+      ct, nrow = _CT.CONTACT_ELLIPTIC, int(dim)
+    efc_type += [int(ct)] * nrow
+    efc_id += [i] * nrow
+    adr += nrow
+  nefc = adr
+
+  layout = types.EfcLayout(
+      connect_id=np.asarray(eq_groups['connect'][0], np.int32),
+      connect_adr=np.asarray(eq_groups['connect'][1], np.int32),
+      weld_id=np.asarray(eq_groups['weld'][0], np.int32),
+      weld_adr=np.asarray(eq_groups['weld'][1], np.int32),
+      joint_id=np.asarray(eq_groups['joint'][0], np.int32),
+      joint_adr=np.asarray(eq_groups['joint'][1], np.int32),
+      tendon_id=np.asarray(eq_groups['tendon'][0], np.int32),
+      tendon_adr=np.asarray(eq_groups['tendon'][1], np.int32),
+      fri_dof_id=fri_dof, fri_dof_adr=fri_dof_adr,
+      fri_ten_id=fri_ten, fri_ten_adr=fri_ten_adr,
+      lim_jnt_id=lim_jnt, lim_jnt_adr=lim_jnt_adr,
+      lim_ten_id=lim_ten, lim_ten_adr=lim_ten_adr,
+      efc_type=np.asarray(efc_type, np.int32),
+      efc_id=np.asarray(efc_id, np.int32),
+  )
+  return ne, nf, nl, nefc, con_adr, layout
 
 
 def put_model(mjm: mujoco.MjModel, dtype=np.float32) -> types.Model:
@@ -170,7 +233,7 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32) -> types.Model:
   pairs = collision_driver.collision_pairs(mjm)
   ncon = len(pairs.con_pair)
   slot_dim = pairs.con_dim[pairs.con_pair] if ncon else np.zeros(0, np.int32)
-  ne, nf, nl, nefc, con_efc_adr = _efc_layout(
+  ne, nf, nl, nefc, con_efc_adr, efc_layout = _efc_layout(
       mjm, slot_dim, int(mjm.opt.cone))
 
   m = types.Model(
@@ -180,7 +243,7 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32) -> types.Model:
       ntendon=mjm.ntendon, nwrap=mjm.nwrap, nsensor=mjm.nsensor,
       nsensordata=mjm.nsensordata,
       ne=ne, nf=nf, nl=nl, nefc=nefc, ncon=ncon,
-      opt=opt, stat=stat, tree=tree,
+      opt=opt, stat=stat, tree=tree, efc=efc_layout,
       qpos0=_jnp(mjm.qpos0, dtype),
       qpos_spring=_jnp(mjm.qpos_spring, dtype),
       # body
@@ -347,12 +410,18 @@ def make_data(m: types.Model, nworld: Optional[int] = None,
 
 
 def _empty_data(m: types.Model, dtype=np.float32) -> types.Data:
-  z = lambda *shape: jnp.zeros(shape, dtype)
-  quat0 = jnp.zeros((m.nbody, 4), dtype).at[:, 0].set(1.0)
+  # all-zero allocation happens host-side (numpy) then a single device_put
+  # per leaf — eager jnp.zeros would compile one tiny XLA program per shape.
+  z = lambda *shape: jnp.asarray(np.zeros(shape, dtype))
+  quat0_np = np.zeros((m.nbody, 4), dtype)
+  quat0_np[:, 0] = 1.0
+  quat0 = jnp.asarray(quat0_np)
+  eye = lambda n: jnp.asarray(
+      np.broadcast_to(np.eye(3, dtype=dtype), (n, 3, 3)).copy())
   contact = types.Contact(
-      dist=jnp.full((m.ncon,), 1e10, dtype),
+      dist=jnp.asarray(np.full((m.ncon,), 1e10, dtype)),
       pos=z(m.ncon, 3),
-      frame=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.ncon, 3, 3)),
+      frame=eye(m.ncon),
       includemargin=z(m.ncon),
       friction=z(m.ncon, 5),
       solref=z(m.ncon, types.NREF),
@@ -370,16 +439,16 @@ def _empty_data(m: types.Model, dtype=np.float32) -> types.Data:
       eq_active=jnp.asarray(m.eq_active0.astype(bool)) if m.neq else
       jnp.zeros((0,), bool),
       mocap_pos=z(m.nmocap, 3),
-      mocap_quat=jnp.zeros((m.nmocap, 4), dtype).at[:, 0].set(1.0),
+      mocap_quat=jnp.asarray(np.concatenate([np.ones((m.nmocap, 1), dtype), np.zeros((m.nmocap, 3), dtype)], axis=1)),
       xpos=z(m.nbody, 3), xquat=quat0,
-      xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.nbody, 3, 3)),
+      xmat=eye(m.nbody),
       xipos=z(m.nbody, 3),
-      ximat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.nbody, 3, 3)),
+      ximat=eye(m.nbody),
       xanchor=z(m.njnt, 3), xaxis=z(m.njnt, 3),
       geom_xpos=z(m.ngeom, 3),
-      geom_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.ngeom, 3, 3)),
+      geom_xmat=eye(m.ngeom),
       site_xpos=z(m.nsite, 3),
-      site_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.nsite, 3, 3)),
+      site_xmat=eye(m.nsite),
       subtree_com=z(m.nbody, 3),
       cinert=z(m.nbody, 6, 6), cdof=z(m.nv, 6),
       crb=z(m.nbody, 6, 6), qM=z(m.nv, m.nv), qLD=z(m.nv, m.nv),

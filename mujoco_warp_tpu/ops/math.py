@@ -118,6 +118,29 @@ def quat_integrate(quat: jax.Array, vel: jax.Array, dt) -> jax.Array:
   return normalize_quat(mul_quat(quat, q_rot))
 
 
+def quat_to_vel(quat: jax.Array) -> jax.Array:
+  """Quaternion → rotation-vector (axis·angle), matching mju_quat2Vel."""
+  axis = quat[..., 1:]
+  sin_a_2 = jnp.linalg.norm(axis, axis=-1)
+  speed = 2.0 * jnp.arctan2(sin_a_2, quat[..., 0])
+  # map angle to [-pi, pi]
+  speed = jnp.where(speed > jnp.pi, speed - 2.0 * jnp.pi, speed)
+  scale = jnp.where(sin_a_2 > _EPS, speed / jnp.maximum(sin_a_2, _EPS), 2.0)
+  return axis * scale[..., None]
+
+
+def quat_mul_axis(quat: jax.Array, axis: jax.Array) -> jax.Array:
+  """Quaternion times a pure-vector quaternion (0, axis)."""
+  w, x, y, z = quat[..., 0], quat[..., 1], quat[..., 2], quat[..., 3]
+  ax, ay, az = axis[..., 0], axis[..., 1], axis[..., 2]
+  return jnp.stack([
+      -x * ax - y * ay - z * az,
+      w * ax + y * az - z * ay,
+      w * ay + z * ax - x * az,
+      w * az + x * ay - y * ax,
+  ], axis=-1)
+
+
 def quat_sub(qa: jax.Array, qb: jax.Array) -> jax.Array:
   """Velocity-space difference of quaternions: 3D vector v s.t. qb ∘ exp(v) = qa.
 

@@ -351,6 +351,54 @@ class TreeInfo:
 
 
 @pytree_dataclass
+class EfcLayout:
+  """Static constraint-row layout (replaces the reference's runtime nefc
+  counting with atomics, constraint.py:4870).
+
+  Row order matches MuJoCo C: equality (by eq id) | dof friction | tendon
+  friction | joint limits | tendon limits | contacts.  All fields are static
+  numpy id/address tables; every row exists every step and inactive rows are
+  masked to zero.
+  """
+
+  # equality constraints grouped by type: (ids into eq_*, first row address)
+  connect_id: np.ndarray = field(static=True, default=None)
+  connect_adr: np.ndarray = field(static=True, default=None)
+  weld_id: np.ndarray = field(static=True, default=None)
+  weld_adr: np.ndarray = field(static=True, default=None)
+  joint_id: np.ndarray = field(static=True, default=None)
+  joint_adr: np.ndarray = field(static=True, default=None)
+  tendon_id: np.ndarray = field(static=True, default=None)
+  tendon_adr: np.ndarray = field(static=True, default=None)
+  # friction loss rows
+  fri_dof_id: np.ndarray = field(static=True, default=None)
+  fri_dof_adr: np.ndarray = field(static=True, default=None)
+  fri_ten_id: np.ndarray = field(static=True, default=None)
+  fri_ten_adr: np.ndarray = field(static=True, default=None)
+  # limit rows
+  lim_jnt_id: np.ndarray = field(static=True, default=None)
+  lim_jnt_adr: np.ndarray = field(static=True, default=None)
+  lim_ten_id: np.ndarray = field(static=True, default=None)
+  lim_ten_adr: np.ndarray = field(static=True, default=None)
+  # per-row static type/id tables (ConstraintType analog; contacts included)
+  efc_type: np.ndarray = field(static=True, default=None)  # (nefc,)
+  efc_id: np.ndarray = field(static=True, default=None)  # (nefc,)
+
+
+class ConstraintType(enum.IntEnum):
+  """mjtConstraint — constraint row types (reference: types.py)."""
+
+  EQUALITY = 0
+  FRICTION_DOF = 1
+  FRICTION_TENDON = 2
+  LIMIT_JOINT = 3
+  LIMIT_TENDON = 4
+  CONTACT_FRICTIONLESS = 5
+  CONTACT_PYRAMIDAL = 6
+  CONTACT_ELLIPTIC = 7
+
+
+@pytree_dataclass
 class Model:
   """Device-resident model (reference: mujoco_warp/_src/types.py:979).
 
@@ -386,6 +434,7 @@ class Model:
   opt: Option = None
   stat: Statistic = None
   tree: TreeInfo = None
+  efc: EfcLayout = None
 
   # ------------------------------------------------------------------ qpos
   qpos0: Array = None  # (nq,)

@@ -1,12 +1,4 @@
-"""Test config: CPU backend, 8 virtual devices, persistent compile cache.
-
-Counterpart of the reference's CPU-backend CI strategy (conftest.py adds
---cpu; ci.yml runs the suite on ubuntu-latest) — kernels are portable, so
-correctness CI needs no TPU.  XLA_FLAGS must be set before backend init.
-The persistent compilation cache is load-bearing on this 1-core machine:
-XLA:CPU compiles are ~100x slower than typical dev boxes, so every jitted
-program is cached on disk across test runs.
-"""
+"""Debug-script preamble: same env as conftest (import first)."""
 
 import os
 
