@@ -6,6 +6,18 @@ scale-out, and Pallas kernels on the hot paths.
 """
 
 from mujoco_warp_tpu import types
+from mujoco_warp_tpu.ops.forward import (
+    euler,
+    forward,
+    fwd_acceleration,
+    fwd_actuation,
+    fwd_position,
+    fwd_velocity,
+    rungekutta4,
+    step,
+    step1,
+    step2,
+)
 from mujoco_warp_tpu.io import (
     get_data_into,
     make_data,

@@ -71,9 +71,11 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
          (int(mjm.geom_contype[b]) & int(mjm.geom_conaffinity[a])) == 0:
         continue
       if not (mjm.opt.disableflags & mujoco.mjtDisableBit.mjDSBL_FILTERPARENT):
+        # parent filtering applies only between two non-world weld bodies
+        # (mj_collideGeoms semantics: `weld1 && weld2 && ...`)
         wpa = mjm.body_weldid[mjm.body_parentid[wa]]
         wpb = mjm.body_weldid[mjm.body_parentid[wb]]
-        if (wa == wpb and wb != 0) or (wb == wpa and wa != 0):
+        if wa != 0 and wb != 0 and (wa == wpb or wb == wpa):
           continue
       if (min(ba, bb), max(ba, bb)) in excluded or \
          (max(ba, bb), min(ba, bb)) in excluded:

@@ -198,6 +198,7 @@ def _equality_connect(m, d, rows, cdof_dot, dtype):
   D, aref, posv = _row_values(
       m, cpos, pos_imp[:, None], invweight[:, None], solref[:, None, :],
       solimp[:, None, :], 0.0, Jqvel, dtype)
+  D = jnp.broadcast_to(D, cpos.shape)
   aref = aref - Jdotv
   active = jnp.broadcast_to(d.eq_active[ids][:, None], cpos.shape)
 
@@ -269,7 +270,7 @@ def _equality_weld(m, d, rows, cdof_dot, dtype):
   Jqvelp = jnp.einsum('nvi,v->ni', jacdifp, d.qvel)
   Jqvelr = jnp.einsum('nvi,v->ni', jacdifr, d.qvel)
   Jdotv_p = jnp.einsum('nvi,v->ni', jacdifp_dot, d.qvel)
-  Jdotv_r0 = jnp.einsum('nvi,v->ni', jacdifr_dot * ts, d.qvel)
+  Jdotv_r0 = jnp.einsum('nvi,v->ni', jacdifr_dot, d.qvel)
 
   # rotational Jdotv (reference:1088-1114, 1365-1379)
   omega1 = d.cvel[body1, :3]
@@ -308,10 +309,12 @@ def _equality_weld(m, d, rows, cdof_dot, dtype):
   Dp, arefp, posp = _row_values(
       m, cpos, pos_imp[:, None], invweight_t[:, None], solref[:, None, :],
       solimp[:, None, :], 0.0, Jqvelp, dtype)
+  Dp = jnp.broadcast_to(Dp, cpos.shape)
   arefp = arefp - Jdotv_p
   Dr, arefr, posr = _row_values(
       m, crot, pos_imp[:, None], invweight_r[:, None], solref[:, None, :],
       solimp[:, None, :], 0.0, Jqvelr, dtype)
+  Dr = jnp.broadcast_to(Dr, crot.shape)
   arefr = arefr - Jdotv_r
 
   active = jnp.broadcast_to(d.eq_active[ids][:, None], (len(ids), 6))

@@ -1,0 +1,384 @@
+"""Step orchestration: forward dynamics pipeline + integrators + public API.
+
+TPU-native counterpart of reference mujoco_warp/_src/forward.py
+(`step`:1369, `forward`:1342).  The reference launches a fixed sequence of
+kernels and graph-captures the whole step; here every stage is a pure
+function on a single-world ``Data`` pytree, the public API vmaps over an
+optional leading ``nworld`` axis, and the caller jits (`jax.jit(step)` is
+the graph capture).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_warp_tpu import types
+from mujoco_warp_tpu.ops import actuation as act_ops
+from mujoco_warp_tpu.ops import collision_driver, constraint, math, passive
+from mujoco_warp_tpu.ops import smooth, solver, support
+
+_DT = types.DynType
+_GT = types.GainType
+_BT = types.BiasType
+_MINVAL = 1e-15
+
+
+def _batched(fn):
+  """Public-API wrapper: vmap over a leading nworld axis when present."""
+
+  @functools.wraps(fn)
+  def wrapper(m: types.Model, d: types.Data, *args, **kwargs):
+    if d.qpos.ndim == 2:
+      return jax.vmap(lambda dd: fn(m, dd, *args, **kwargs))(d)
+    return fn(m, d, *args, **kwargs)
+
+  return wrapper
+
+
+# --------------------------------------------------------------------- stages
+
+
+def fwd_position(m: types.Model, d: types.Data,
+                 factorize: bool = True) -> types.Data:
+  """Position-dependent computations (reference: forward.py:636)."""
+  d = smooth.kinematics(m, d)
+  d = smooth.com_pos(m, d)
+  d = smooth.tendon(m, d)
+  d = smooth.crb(m, d)
+  # cvel/cdof_dot feed the equality-constraint Jacobian-dot terms, so they
+  # are computed here (MuJoCo C >= 3.2 ordering; the C oracle's efc_aref
+  # depends on current-state cvel at make_constraint time)
+  d = smooth.com_vel(m, d)
+  if factorize:
+    d = smooth.factor_m(m, d)
+  if m.opt.run_collision_detection:
+    d = collision_driver.collision(m, d)
+  d = constraint.make_constraint(m, d)
+  d = smooth.transmission(m, d)
+  return d
+
+
+def fwd_velocity(m: types.Model, d: types.Data) -> types.Data:
+  """Velocity-dependent computations (reference: forward.py:733)."""
+  actuator_velocity = d.actuator_moment @ d.qvel if m.nu else \
+      d.actuator_velocity
+  ten_velocity = d.ten_J @ d.qvel if m.ntendon else d.ten_velocity
+  d = d.replace(actuator_velocity=actuator_velocity,
+                ten_velocity=ten_velocity)
+  d = passive.passive(m, d)
+  d = smooth.rne(m, d)
+  return d
+
+
+def _next_act(m, act, act_dot, dt, scale, limit: bool):
+  """Integrate activations (reference: forward.py:135-218 `_next_activation`).
+
+  act/act_dot are (na,); per-actuator dyntype handled with static masks.
+  ``scale`` scales act_dot (RK stages); ``limit`` applies actrange clamps.
+  """
+  if not m.na:
+    return act
+  dtype = act.dtype
+  # per-act-slot actuator id table (static)
+  slot_u = np.full(m.na, -1, np.int64)
+  for u in range(m.nu):
+    adr, num = int(m.actuator_actadr[u]), int(m.actuator_actnum[u])
+    if adr >= 0:
+      slot_u[adr:adr + num] = u
+  valid = slot_u >= 0
+  uc = np.maximum(slot_u, 0)
+  dyn = m.actuator_dyntype[uc]
+  tau = jnp.maximum(m.actuator_dynprm[uc, 0], _MINVAL)
+
+  # FILTEREXACT: exact exponential filter; others: explicit Euler
+  exact = jnp.asarray(dyn == _DT.FILTEREXACT)
+  step_exact = act_dot * scale * tau * (1.0 - jnp.exp(-dt / tau))
+  step_euler = act_dot * scale * dt
+  new = act + jnp.where(exact, step_exact, step_euler)
+
+  if limit and np.any(m.actuator_actlimited):
+    lim = jnp.asarray((m.actuator_actlimited[uc] & valid))
+    rng = m.actuator_actrange[uc]
+    new = jnp.where(lim, jnp.clip(new, rng[:, 0], rng[:, 1]), new)
+  return new
+
+
+def fwd_actuation(m: types.Model, d: types.Data) -> types.Data:
+  """Actuator dynamics and forces (reference: forward.py:1153)."""
+  dtype = d.qpos.dtype
+  if not m.nu or (m.opt.disableflags & types.DisableBit.ACTUATION):
+    return d.replace(
+        act_dot=jnp.zeros((m.na,), dtype),
+        actuator_force=jnp.zeros((m.nu,), dtype),
+        qfrc_actuator=jnp.zeros((m.nv,), dtype))
+
+  ctrl = d.ctrl
+  if not (m.opt.disableflags & types.DisableBit.CLAMPCTRL):
+    lim = jnp.asarray(m.actuator_ctrllimited.astype(bool))
+    ctrl = jnp.where(lim,
+                     jnp.clip(ctrl, m.actuator_ctrlrange[:, 0],
+                              m.actuator_ctrlrange[:, 1]), ctrl)
+
+  # ---- act_dot (per dyntype; reference: forward.py:800-912)
+  act_dot = jnp.zeros((m.na,), dtype)
+  has_act = m.actuator_actadr >= 0
+  act_last = np.where(has_act,
+                      m.actuator_actadr + m.actuator_actnum - 1, 0)
+  if m.na:
+    act_u = d.act[act_last]  # (nu,) last activation per actuator
+    dyn = m.actuator_dyntype
+    dynprm = m.actuator_dynprm
+    ad = jnp.zeros((m.nu,), dtype)
+    ad = jnp.where(jnp.asarray(dyn == _DT.INTEGRATOR), ctrl, ad)
+    filt = (dyn == _DT.FILTER) | (dyn == _DT.FILTEREXACT)
+    ad = jnp.where(jnp.asarray(filt),
+                   (ctrl - act_u) / jnp.maximum(dynprm[:, 0], _MINVAL), ad)
+    ad = jnp.where(jnp.asarray(dyn == _DT.MUSCLE),
+                   act_ops.muscle_dynamics(ctrl, act_u, dynprm), ad)
+    act_dot = act_dot.at[act_last].set(
+        jnp.where(jnp.asarray(has_act), ad, act_dot[act_last]))
+
+  # ---- input: ctrl or activation (with actearly)
+  if m.na:
+    input_u = jnp.where(jnp.asarray(has_act), act_u, ctrl)
+    if np.any(m.actuator_actearly):
+      dt = m.opt.timestep.astype(dtype)
+      early_val = act_u + ad * dt
+      if np.any(m.actuator_actlimited):
+        limm = jnp.asarray(m.actuator_actlimited.astype(bool))
+        early_val = jnp.where(
+            limm, jnp.clip(early_val, m.actuator_actrange[:, 0],
+                           m.actuator_actrange[:, 1]), early_val)
+      input_u = jnp.where(jnp.asarray(m.actuator_actearly.astype(bool)),
+                          early_val, input_u)
+  else:
+    input_u = ctrl
+
+  # ---- gain / bias
+  length = d.actuator_length
+  velocity = d.actuator_velocity
+  gt = m.actuator_gaintype
+  gp = m.actuator_gainprm
+  gain = jnp.zeros((m.nu,), dtype)
+  gain = jnp.where(jnp.asarray(gt == _GT.FIXED), gp[:, 0], gain)
+  gain = jnp.where(jnp.asarray(gt == _GT.AFFINE),
+                   gp[:, 0] + gp[:, 1] * length + gp[:, 2] * velocity, gain)
+  if np.any(gt == _GT.MUSCLE):
+    gain = jnp.where(
+        jnp.asarray(gt == _GT.MUSCLE),
+        act_ops.muscle_gain(length, velocity, m.actuator_lengthrange,
+                            m.actuator_acc0, gp), gain)
+
+  bt = m.actuator_biastype
+  bp = m.actuator_biasprm
+  bias = jnp.zeros((m.nu,), dtype)
+  bias = jnp.where(jnp.asarray(bt == _BT.AFFINE),
+                   bp[:, 0] + bp[:, 1] * length + bp[:, 2] * velocity, bias)
+  if np.any(bt == _BT.MUSCLE):
+    bias = jnp.where(
+        jnp.asarray(bt == _BT.MUSCLE),
+        act_ops.muscle_bias(length, m.actuator_lengthrange,
+                            m.actuator_acc0, bp), bias)
+
+  force = gain * input_u + bias
+  if np.any(m.actuator_forcelimited):
+    lim = jnp.asarray(m.actuator_forcelimited.astype(bool))
+    force = jnp.where(lim,
+                      jnp.clip(force, m.actuator_forcerange[:, 0],
+                               m.actuator_forcerange[:, 1]), force)
+
+  # tendon total actuator-force clamp (reference: forward.py:1057-1098)
+  if m.ntendon and np.any(m.tendon_actfrclimited):
+    is_ten = m.actuator_trntype == types.TrnType.TENDON
+    tid = np.where(is_ten, m.actuator_trnid[:, 0], 0)
+    ten_frc = jnp.zeros((m.ntendon,), dtype).at[tid].add(
+        jnp.where(jnp.asarray(is_ten), force, 0.0))
+    rng = m.tendon_actfrcrange
+    limT = jnp.asarray(m.tendon_actfrclimited.astype(bool))
+    scale_lo = jnp.where((ten_frc < rng[:, 0]) & limT,
+                         rng[:, 0] / jnp.where(ten_frc != 0, ten_frc, 1.0),
+                         1.0)
+    scale_hi = jnp.where((ten_frc > rng[:, 1]) & limT,
+                         rng[:, 1] / jnp.where(ten_frc != 0, ten_frc, 1.0),
+                         1.0)
+    scale = scale_lo * scale_hi
+    force = jnp.where(jnp.asarray(is_ten), force * scale[tid], force)
+
+  qfrc = d.actuator_moment.T @ force
+
+  # gravcomp via actuators + per-joint actuator-force clamps (ref:1100-1135)
+  gravity_on = not (m.opt.disableflags & types.DisableBit.GRAVITY)
+  jnt_of_dof = m.dof_jntid
+  if gravity_on and np.any(m.jnt_actgravcomp):
+    gc_dofs = jnp.asarray(m.jnt_actgravcomp[jnt_of_dof].astype(bool))
+    qfrc = qfrc + jnp.where(gc_dofs, d.qfrc_gravcomp, 0.0)
+  if np.any(m.jnt_actfrclimited):
+    lim = jnp.asarray(m.jnt_actfrclimited[jnt_of_dof].astype(bool))
+    rng = m.jnt_actfrcrange[jnt_of_dof]
+    qfrc = jnp.where(lim, jnp.clip(qfrc, rng[:, 0], rng[:, 1]), qfrc)
+
+  return d.replace(act_dot=act_dot, actuator_force=force,
+                   qfrc_actuator=qfrc)
+
+
+def fwd_acceleration(m: types.Model, d: types.Data) -> types.Data:
+  """Smooth (unconstrained) acceleration (reference: forward.py:1291)."""
+  qfrc_applied = d.qfrc_applied + support.xfrc_accumulate(m, d)
+  qfrc_smooth = (d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator +
+                 qfrc_applied)
+  qacc_smooth = smooth.solve_m(m, d, qfrc_smooth)
+  return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
+
+
+# ------------------------------------------------------------------ integrate
+
+
+def _next_position(m, qpos, qvel, dt):
+  """qpos ∘= exp(dt·qvel) per joint type (reference: forward.py:60-120)."""
+  dtype = qpos.dtype
+  out = qpos
+  for jt in np.unique(m.jnt_type):
+    jids = np.nonzero(m.jnt_type == jt)[0]
+    qadr = m.jnt_qposadr[jids]
+    dadr = m.jnt_dofadr[jids]
+    if jt == types.JointType.FREE:
+      pos = qpos[qadr[:, None] + np.arange(3)]
+      vel = qvel[dadr[:, None] + np.arange(3)]
+      out = out.at[qadr[:, None] + np.arange(3)].set(pos + dt * vel)
+      quat = math.normalize_quat(qpos[qadr[:, None] + np.arange(3, 7)])
+      ang = qvel[dadr[:, None] + np.arange(3, 6)]
+      out = out.at[qadr[:, None] + np.arange(3, 7)].set(
+          math.quat_integrate(quat, ang, dt))
+    elif jt == types.JointType.BALL:
+      quat = math.normalize_quat(qpos[qadr[:, None] + np.arange(4)])
+      ang = qvel[dadr[:, None] + np.arange(3)]
+      out = out.at[qadr[:, None] + np.arange(4)].set(
+          math.quat_integrate(quat, ang, dt))
+    else:
+      out = out.at[qadr].set(qpos[qadr] + dt * qvel[dadr])
+  return out
+
+
+def _advance(m: types.Model, d: types.Data, qacc,
+             qvel=None) -> types.Data:
+  """Integrate state by one timestep (reference: forward.py:276)."""
+  dtype = d.qpos.dtype
+  dt = m.opt.timestep.astype(dtype)
+  act = _next_act(m, d.act, d.act_dot, dt, 1.0, True)
+  qvel_new = d.qvel + dt * qacc
+  qvel_for_pos = qvel_new if qvel is None else qvel
+  qpos = _next_position(m, d.qpos, qvel_for_pos, dt)
+  return d.replace(
+      act=act, qvel=qvel_new, qpos=qpos,
+      time=d.time + dt,
+      qacc_warmstart=d.qacc)
+
+
+def euler(m: types.Model, d: types.Data) -> types.Data:
+  """Semi-implicit Euler w/ implicit joint damping (reference: 388)."""
+  dsbl = m.opt.disableflags
+  damped = not (dsbl & (types.DisableBit.EULERDAMP | types.DisableBit.DAMPER))
+  if damped and bool(np.any(np.asarray(jax.device_get(m.dof_damping)) > 0)):
+    dtype = d.qpos.dtype
+    dt = m.opt.timestep.astype(dtype)
+    M = d.qM + jnp.diag(dt * m.dof_damping)
+    L = jax.scipy.linalg.cholesky(M, lower=True)
+    rhs = d.qM @ d.qacc
+    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    qacc = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    return _advance(m, d, qacc)
+  return _advance(m, d, d.qacc)
+
+
+def rungekutta4(m: types.Model, d: types.Data) -> types.Data:
+  """Explicit RK4 (reference: forward.py:524)."""
+  dtype = d.qpos.dtype
+  dt = m.opt.timestep.astype(dtype)
+  A = [0.5, 0.5, 1.0]
+  B = [1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0]
+
+  qpos_t0, qvel_t0, act_t0 = d.qpos, d.qvel, d.act
+  qvel_rk = B[0] * d.qvel
+  qacc_rk = B[0] * d.qacc
+  act_dot_rk = B[0] * d.act_dot
+
+  dd = d
+  for i in range(3):
+    qpos_i = _next_position(m, qpos_t0, dd.qvel, A[i] * dt)
+    qvel_i = qvel_t0 + A[i] * dt * dd.qacc
+    act_i = _next_act(m, act_t0, dd.act_dot, dt, A[i], False)
+    dd = dd.replace(qpos=qpos_i, qvel=qvel_i, act=act_i)
+    dd = _forward(m, dd)
+    qvel_rk = qvel_rk + B[i + 1] * dd.qvel
+    qacc_rk = qacc_rk + B[i + 1] * dd.qacc
+    act_dot_rk = act_dot_rk + B[i + 1] * dd.act_dot
+
+  d = d.replace(qpos=qpos_t0, qvel=qvel_rk, act=act_t0,
+                act_dot=act_dot_rk)
+  out = _advance(m, d, qacc_rk, qvel=qvel_rk)
+  # RK4 advances qpos from t0 by the averaged velocity; restore qacc of last
+  return out.replace(qacc=d.qacc)
+
+
+# ------------------------------------------------------------------- pipeline
+
+
+def _forward(m: types.Model, d: types.Data) -> types.Data:
+  """Forward dynamics pipeline (reference: forward.py:1342)."""
+  d = fwd_position(m, d)
+  d = fwd_velocity(m, d)
+  d = fwd_actuation(m, d)
+  d = fwd_acceleration(m, d)
+  d = solver.solve(m, d)
+  return d
+
+
+def _step(m: types.Model, d: types.Data) -> types.Data:
+  """One physics step (reference: forward.py:1369)."""
+  d = _forward(m, d)
+  integ = m.opt.integrator
+  if integ == types.IntegratorType.EULER:
+    return euler(m, d)
+  elif integ == types.IntegratorType.RK4:
+    return rungekutta4(m, d)
+  elif integ in (types.IntegratorType.IMPLICIT,
+                 types.IntegratorType.IMPLICITFAST):
+    from mujoco_warp_tpu.ops import derivative
+    return derivative.implicit(m, d)
+  raise NotImplementedError(f'integrator {integ}')
+
+
+@_batched
+def step(m: types.Model, d: types.Data) -> types.Data:
+  return _step(m, d)
+
+
+@_batched
+def forward(m: types.Model, d: types.Data) -> types.Data:
+  return _forward(m, d)
+
+
+@_batched
+def step1(m: types.Model, d: types.Data) -> types.Data:
+  """Position+velocity stages (reference: forward.py:1384)."""
+  d = fwd_position(m, d)
+  d = fwd_velocity(m, d)
+  return d
+
+
+@_batched
+def step2(m: types.Model, d: types.Data) -> types.Data:
+  """Actuation through integration (reference: forward.py:1403)."""
+  d = fwd_actuation(m, d)
+  d = fwd_acceleration(m, d)
+  d = solver.solve(m, d)
+  integ = m.opt.integrator
+  if integ == types.IntegratorType.EULER:
+    return euler(m, d)
+  elif integ == types.IntegratorType.RK4:
+    return rungekutta4(m, d)
+  raise NotImplementedError(f'integrator {integ}')

@@ -1,0 +1,108 @@
+"""Oracle tests: full forward dynamics + stepping vs MuJoCo C.
+
+Counterpart of reference mujoco_warp/_src/forward_test.py and
+solver_test.py: forward() must reproduce mjd.qacc (Newton-converged) and
+step() must track mj_step trajectories.
+"""
+
+import jax
+import mujoco
+import numpy as np
+import pytest
+
+from mujoco_warp_tpu import io, models
+from mujoco_warp_tpu.ops import forward as fwd
+from tests.oracle import assert_close
+
+
+def _forward_case(fname, **kw):
+  mjm, mjd, m, d = models.fixture(fname, **kw)
+  run = jax.jit(lambda d: fwd.forward(m, d))
+  d = jax.block_until_ready(run(d))
+  return mjm, mjd, m, d
+
+
+class TestForwardNoContacts:
+
+  @pytest.fixture(scope='class')
+  def case(self):
+    return _forward_case('constraints.xml', qpos_noise=0.3, qvel_noise=0.5,
+                         ctrl_noise=0.3, nstep=3)
+
+  def test_qfrc_passive(self, case):
+    mjm, mjd, m, d = case
+    assert_close(d.qfrc_passive, mjd.qfrc_passive, 'qfrc_passive')
+
+  def test_actuation(self, case):
+    mjm, mjd, m, d = case
+    assert_close(d.actuator_length, mjd.actuator_length, 'actuator_length')
+    assert_close(d.actuator_velocity, mjd.actuator_velocity,
+                 'actuator_velocity')
+    assert_close(d.actuator_force, mjd.actuator_force, 'actuator_force')
+    assert_close(d.qfrc_actuator, mjd.qfrc_actuator, 'qfrc_actuator')
+
+  def test_qacc_smooth(self, case):
+    mjm, mjd, m, d = case
+    assert_close(d.qfrc_smooth, mjd.qfrc_smooth, 'qfrc_smooth')
+    assert_close(d.qacc_smooth, mjd.qacc_smooth, 'qacc_smooth', atol=5e-3,
+                 rtol=1e-3)
+
+  def test_qacc(self, case):
+    mjm, mjd, m, d = case
+    assert_close(d.qfrc_constraint, mjd.qfrc_constraint,
+                 'qfrc_constraint', atol=5e-3, rtol=5e-3)
+    assert_close(d.qacc, mjd.qacc, 'qacc', atol=5e-3, rtol=5e-3)
+
+
+class TestForwardContacts:
+
+  @pytest.fixture(scope='class')
+  def case(self):
+    return _forward_case('spheres.xml', qvel_noise=0.5, nstep=20)
+
+  def test_contacts(self, case):
+    mjm, mjd, m, d = case
+    # every C contact should have a matching active slot (same geom pair,
+    # close dist)
+    dist = np.asarray(d.contact.dist)
+    inc = np.asarray(d.contact.includemargin)
+    g1 = d.contact.geom1
+    g2 = d.contact.geom2
+    for i in range(mjd.ncon):
+      c = mjd.contact
+      pair = (min(c.geom1[i], c.geom2[i]), max(c.geom1[i], c.geom2[i]))
+      slots = [
+          j for j in range(len(g1))
+          if (min(g1[j], g2[j]), max(g1[j], g2[j])) == pair
+          and dist[j] < inc[j]
+      ]
+      assert slots, f'no active slot for C contact {i} geoms {pair}'
+      best = min(abs(dist[j] - c.dist[i]) for j in slots)
+      assert best < 1e-4, (
+          f'contact {i} {pair}: best dist err {best:.2e} '
+          f'(C dist {c.dist[i]:.5f})')
+
+  def test_qacc(self, case):
+    mjm, mjd, m, d = case
+    assert_close(d.qacc, mjd.qacc, 'qacc', atol=2e-2, rtol=2e-2)
+
+
+class TestStep:
+
+  @pytest.mark.parametrize('fname,tol', [('pendula.xml', 1e-3),
+                                         ('constraints.xml', 5e-3)])
+  def test_trajectory(self, fname, tol):
+    """step() tracks mj_step over 100 steps (no contacts)."""
+    mjm, mjd, m, d = models.fixture(fname, qpos_noise=0.1, qvel_noise=0.1,
+                                    seed=3)
+    step = jax.jit(lambda d: fwd.step(m, d))
+    nsteps = 100
+    for _ in range(nsteps):
+      mujoco.mj_step(mjm, mjd)
+    for _ in range(nsteps):
+      d = step(d)
+    d = jax.block_until_ready(d)
+    assert_close(d.qpos, mjd.qpos, f'{fname} qpos@{nsteps}', atol=tol,
+                 rtol=tol)
+    assert_close(d.qvel, mjd.qvel, f'{fname} qvel@{nsteps}', atol=10 * tol,
+                 rtol=10 * tol)
