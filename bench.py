@@ -1,0 +1,40 @@
+"""Driver benchmark: humanoid batched-step throughput on TPU.
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: reference MJWarp humanoid example output, 2,729,192 steps/s at
+nworld=8192 on an unspecified NVIDIA GPU (reference benchmarks/README.md).
+"""
+
+import json
+import os
+import sys
+
+# fully-jitted TPU run; fall back to CPU only if no TPU is attached.
+import jax
+
+import mujoco
+
+from mujoco_warp_tpu import benchmarks
+
+BASELINE_STEPS_PER_SEC = 2_729_192.0
+
+
+def main():
+  nworld = int(os.environ.get('BENCH_NWORLD', 8192))
+  nstep = int(os.environ.get('BENCH_NSTEP', 100))
+  mjm = mujoco.MjModel.from_xml_path(benchmarks.HUMANOID_XML)
+  metrics = benchmarks.run(mjm, nworld=nworld, nstep=nstep)
+  out = {
+      'metric': 'humanoid_steps_per_sec',
+      'value': metrics['steps_per_sec'],
+      'unit': 'steps/s',
+      'vs_baseline': metrics['steps_per_sec'] / BASELINE_STEPS_PER_SEC,
+  }
+  print(json.dumps(out))
+  print(json.dumps(metrics), file=sys.stderr)
+
+
+if __name__ == '__main__':
+  main()

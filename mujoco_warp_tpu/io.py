@@ -466,6 +466,7 @@ def _empty_data(m: types.Model, dtype=np.float32) -> types.Data:
       efc_frictionloss=z(m.nefc), efc_D=z(m.nefc), efc_aref=z(m.nefc),
       efc_force=z(m.nefc),
       efc_active=jnp.zeros((m.nefc,), bool),
+      cacc=z(m.nbody, 6), cfrc_int=z(m.nbody, 6), cfrc_ext=z(m.nbody, 6),
       ne_active=jnp.zeros((), jnp.int32),
       nf_active=jnp.zeros((), jnp.int32),
       nl_active=jnp.zeros((), jnp.int32),

@@ -19,7 +19,7 @@ import numpy as np
 from mujoco_warp_tpu import types
 from mujoco_warp_tpu.ops import actuation as act_ops
 from mujoco_warp_tpu.ops import collision_driver, constraint, math, passive
-from mujoco_warp_tpu.ops import smooth, solver, support
+from mujoco_warp_tpu.ops import sensor, smooth, solver, support
 
 _DT = types.DynType
 _GT = types.GainType
@@ -330,10 +330,15 @@ def rungekutta4(m: types.Model, d: types.Data) -> types.Data:
 def _forward(m: types.Model, d: types.Data) -> types.Data:
   """Forward dynamics pipeline (reference: forward.py:1342)."""
   d = fwd_position(m, d)
+  d = sensor.sensor_pos(m, d)
+  d = sensor.energy_pos(m, d)
   d = fwd_velocity(m, d)
+  d = sensor.sensor_vel(m, d)
+  d = sensor.energy_vel(m, d)
   d = fwd_actuation(m, d)
   d = fwd_acceleration(m, d)
   d = solver.solve(m, d)
+  d = sensor.sensor_acc(m, d)
   return d
 
 

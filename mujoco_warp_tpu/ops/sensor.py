@@ -1,0 +1,504 @@
+"""Sensors: position/velocity/acceleration stages + energy.
+
+TPU-native counterpart of reference mujoco_warp/_src/sensor.py
+(sensor_pos:810, sensor_vel:1432, sensor_acc:2507, energy_pos:2927,
+energy_vel:2997).  The reference launches one thread per sensor with a
+switch on type; here sensors are grouped by type at trace time (static
+tables) and each group is computed vectorized, scattered into
+``sensordata`` at static addresses.
+
+Supported types (this phase): joint/tendon/actuator pos-vel-frc, ball
+quat/angvel, limit pos/vel/frc, frame* (pos/quat/axes/vel/acc incl.
+relative-to-ref frames), subtree com/linvel/angmom, imu (acc/gyro/velo/
+magnetometer/force/torque/touch), clock, energies.  Ray-based
+(rangefinder), camera, geom-distance and contact sensors land with their
+subsystems.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_warp_tpu import types
+from mujoco_warp_tpu.ops import math, smooth, support
+
+_ST = types.SensorType
+_OT = types.ObjType
+
+
+def _write(sensordata, adr, dim, values):
+  """Scatter (n, dim) values to static addresses."""
+  idx = (adr[:, None] + np.arange(dim)).reshape(-1)
+  return sensordata.at[idx].set(values.reshape(-1))
+
+
+def _obj_pos(m, d, objtype, objid):
+  """World position of a body/xbody/geom/site/cam object batch (static)."""
+  pos = jnp.zeros((len(objid), 3), d.qpos.dtype)
+  for ot, arr in ((_OT.BODY, d.xipos), (_OT.XBODY, d.xpos),
+                  (_OT.GEOM, d.geom_xpos), (_OT.SITE, d.site_xpos)):
+    sel = objtype == ot
+    if np.any(sel):
+      pos = pos.at[np.nonzero(sel)[0]].set(arr[objid[sel]])
+  return pos
+
+
+def _obj_mat(m, d, objtype, objid):
+  """World orientation of object batch."""
+  mat = jnp.broadcast_to(jnp.eye(3, dtype=d.qpos.dtype),
+                         (len(objid), 3, 3))
+  for ot, arr in ((_OT.BODY, d.ximat), (_OT.XBODY, d.xmat),
+                  (_OT.GEOM, d.geom_xmat), (_OT.SITE, d.site_xmat)):
+    sel = objtype == ot
+    if np.any(sel):
+      mat = mat.at[np.nonzero(sel)[0]].set(arr[objid[sel]])
+  return mat
+
+
+def _obj_body(m, objtype, objid):
+  """Body id carrying each object (static numpy)."""
+  body = np.zeros(len(objid), np.int32)
+  body[objtype == _OT.BODY] = objid[objtype == _OT.BODY]
+  body[objtype == _OT.XBODY] = objid[objtype == _OT.XBODY]
+  sel = objtype == _OT.GEOM
+  body[sel] = m.geom_bodyid[objid[sel]]
+  sel = objtype == _OT.SITE
+  body[sel] = m.site_bodyid[objid[sel]]
+  return body
+
+
+def _point_vel(m, d, point, body, flg_local=False, mat=None):
+  """6D velocity (ang, lin) of a body-fixed world point.
+
+  Counterpart of mj_objectVelocity: cvel translated to the point, with
+  optional rotation into the object frame.
+  """
+  off = point - d.subtree_com[m.body_rootid[body]]
+  cv = d.cvel[body]
+  ang = cv[:, :3]
+  lin = cv[:, 3:] - jnp.cross(off, ang)
+  if flg_local:
+    rt = jnp.swapaxes(mat, -1, -2)
+    ang = jnp.einsum('nij,nj->ni', rt, ang)
+    lin = jnp.einsum('nij,nj->ni', rt, lin)
+  return ang, lin
+
+
+def _point_acc(m, d, point, body):
+  """6D acceleration of a body-fixed world point (mj_objectAcceleration
+  without local rotation), including the centripetal term."""
+  off = point - d.subtree_com[m.body_rootid[body]]
+  ca = d.cacc[body]
+  cv = d.cvel[body]
+  ang_v = cv[:, :3]
+  lin_v = cv[:, 3:] - jnp.cross(off, ang_v)
+  ang = ca[:, :3]
+  lin = ca[:, 3:] - jnp.cross(off, ang)
+  # centripetal correction (mju_objectAcceleration: lin += ang_v x lin_v)
+  lin = lin + jnp.cross(ang_v, lin_v)
+  return ang, lin
+
+
+def _groups(m, stage_types):
+  """Static (type -> sensor-index array) map for this stage."""
+  out = {}
+  for t in stage_types:
+    ids = np.nonzero(m.sensor_type == t)[0]
+    if len(ids):
+      out[t] = ids.astype(np.int64)
+  return out
+
+
+def _limit_row_for(m, kind, objid):
+  """Static efc row address of a joint/tendon limit row, -1 if unlimited."""
+  lay = m.efc
+  rows = np.full(len(objid), -1, np.int64)
+  src_id, src_adr = ((lay.lim_jnt_id, lay.lim_jnt_adr) if kind == 'jnt'
+                     else (lay.lim_ten_id, lay.lim_ten_adr))
+  for i, o in enumerate(objid):
+    hit = np.nonzero(src_id == o)[0]
+    if len(hit):
+      rows[i] = src_adr[hit[0]]
+  return rows
+
+
+def sensor_pos(m: types.Model, d: types.Data) -> types.Data:
+  """Position-stage sensors (reference: sensor.py:810)."""
+  if not m.nsensor or (m.opt.disableflags & types.DisableBit.SENSOR):
+    return d
+  dtype = d.qpos.dtype
+  sd = d.sensordata
+  g = _groups(m, [
+      _ST.MAGNETOMETER, _ST.JOINTPOS, _ST.TENDONPOS, _ST.ACTUATORPOS,
+      _ST.BALLQUAT, _ST.JOINTLIMITPOS, _ST.TENDONLIMITPOS, _ST.FRAMEPOS,
+      _ST.FRAMEQUAT, _ST.FRAMEXAXIS, _ST.FRAMEYAXIS, _ST.FRAMEZAXIS,
+      _ST.SUBTREECOM, _ST.CLOCK, _ST.E_POTENTIAL, _ST.E_KINETIC,
+  ])
+
+  for t, ids in g.items():
+    adr = m.sensor_adr[ids]
+    objid = m.sensor_objid[ids]
+    objtype = m.sensor_objtype[ids]
+    if t == _ST.JOINTPOS:
+      sd = _write(sd, adr, 1, d.qpos[m.jnt_qposadr[objid]])
+    elif t == _ST.TENDONPOS:
+      sd = _write(sd, adr, 1, d.ten_length[objid])
+    elif t == _ST.ACTUATORPOS:
+      sd = _write(sd, adr, 1, d.actuator_length[objid])
+    elif t == _ST.BALLQUAT:
+      q = jnp.stack([d.qpos[m.jnt_qposadr[objid] + i] for i in range(4)],
+                    -1)
+      sd = _write(sd, adr, 4, math.normalize_quat(q))
+    elif t == _ST.JOINTLIMITPOS:
+      rows = _limit_row_for(m, 'jnt', objid)
+      ok = rows >= 0
+      vals = jnp.where(
+          jnp.asarray(ok) & d.efc_active[np.maximum(rows, 0)],
+          d.efc_pos[np.maximum(rows, 0)] - d.efc_margin[np.maximum(rows, 0)],
+          0.0)
+      sd = _write(sd, adr, 1, vals)
+    elif t == _ST.TENDONLIMITPOS:
+      rows = _limit_row_for(m, 'ten', objid)
+      vals = jnp.where(
+          jnp.asarray(rows >= 0) & d.efc_active[np.maximum(rows, 0)],
+          d.efc_pos[np.maximum(rows, 0)] - d.efc_margin[np.maximum(rows, 0)],
+          0.0)
+      sd = _write(sd, adr, 1, vals)
+    elif t == _ST.FRAMEPOS:
+      pos = _obj_pos(m, d, objtype, objid)
+      refid = m.sensor_refid[ids]
+      if np.any(refid >= 0):
+        reftype = m.sensor_reftype[ids]
+        rid = np.maximum(refid, 0)
+        refpos = _obj_pos(m, d, reftype, rid)
+        refmat = _obj_mat(m, d, reftype, rid)
+        rel = jnp.einsum('nij,ni->nj', refmat, pos - refpos)
+        pos = jnp.where(jnp.asarray(refid >= 0)[:, None], rel, pos)
+      sd = _write(sd, adr, 3, pos)
+    elif t in (_ST.FRAMEXAXIS, _ST.FRAMEYAXIS, _ST.FRAMEZAXIS):
+      col = {_ST.FRAMEXAXIS: 0, _ST.FRAMEYAXIS: 1, _ST.FRAMEZAXIS: 2}[t]
+      mat = _obj_mat(m, d, objtype, objid)
+      axis = mat[:, :, col]
+      refid = m.sensor_refid[ids]
+      if np.any(refid >= 0):
+        reftype = m.sensor_reftype[ids]
+        rid = np.maximum(refid, 0)
+        refmat = _obj_mat(m, d, reftype, rid)
+        rel = jnp.einsum('nij,ni->nj', refmat, axis)
+        axis = jnp.where(jnp.asarray(refid >= 0)[:, None], rel, axis)
+      sd = _write(sd, adr, 3, axis)
+    elif t == _ST.FRAMEQUAT:
+      # object quaternion: body/xbody use xquat; geom/site compose static
+      # offsets with the body quaternion
+      q = jnp.zeros((len(ids), 4), dtype).at[:, 0].set(1.0)
+      for ot in np.unique(objtype):
+        sel = np.nonzero(objtype == ot)[0]
+        oid = objid[sel]
+        if ot == _OT.BODY:
+          qo = math.mul_quat(d.xquat[oid], m.body_iquat[oid])
+        elif ot == _OT.XBODY:
+          qo = d.xquat[oid]
+        elif ot == _OT.GEOM:
+          qo = math.mul_quat(d.xquat[m.geom_bodyid[oid]], m.geom_quat[oid])
+        elif ot == _OT.SITE:
+          qo = math.mul_quat(d.xquat[m.site_bodyid[oid]], m.site_quat[oid])
+        else:
+          continue
+        q = q.at[sel].set(qo)
+      refid = m.sensor_refid[ids]
+      if np.any(refid >= 0):
+        reftype = m.sensor_reftype[ids]
+        rid = np.maximum(refid, 0)
+        qr = jnp.zeros((len(ids), 4), dtype).at[:, 0].set(1.0)
+        for ot in np.unique(reftype):
+          sel = np.nonzero(reftype == ot)[0]
+          oid = rid[sel]
+          if ot == _OT.BODY:
+            qo = math.mul_quat(d.xquat[oid], m.body_iquat[oid])
+          elif ot == _OT.XBODY:
+            qo = d.xquat[oid]
+          elif ot == _OT.GEOM:
+            qo = math.mul_quat(d.xquat[m.geom_bodyid[oid]],
+                               m.geom_quat[oid])
+          elif ot == _OT.SITE:
+            qo = math.mul_quat(d.xquat[m.site_bodyid[oid]],
+                               m.site_quat[oid])
+          else:
+            continue
+          qr = qr.at[sel].set(qo)
+        rel = math.mul_quat(math.quat_inv(qr), q)
+        q = jnp.where(jnp.asarray(refid >= 0)[:, None], rel, q)
+      sd = _write(sd, adr, 4, q)
+    elif t == _ST.SUBTREECOM:
+      sd = _write(sd, adr, 3, d.subtree_com[objid])
+    elif t == _ST.MAGNETOMETER:
+      mat = d.site_xmat[objid]
+      b = m.opt.magnetic.astype(dtype)
+      sd = _write(sd, adr, 3,
+                  jnp.einsum('nji,j->ni', mat, b))
+    elif t == _ST.CLOCK:
+      sd = _write(sd, adr, 1,
+                  jnp.broadcast_to(d.time[None], (len(ids), 1)))
+    elif t == _ST.E_POTENTIAL:
+      e = _energy_pos_value(m, d)
+      sd = _write(sd, adr, 1, jnp.broadcast_to(e[None], (len(ids), 1)))
+    elif t == _ST.E_KINETIC:
+      e = _energy_vel_value(m, d)
+      sd = _write(sd, adr, 1, jnp.broadcast_to(e[None], (len(ids), 1)))
+  return d.replace(sensordata=_apply_cutoff(m, sd, stage='pos'))
+
+
+def sensor_vel(m: types.Model, d: types.Data) -> types.Data:
+  """Velocity-stage sensors (reference: sensor.py:1432)."""
+  if not m.nsensor or (m.opt.disableflags & types.DisableBit.SENSOR):
+    return d
+  dtype = d.qpos.dtype
+  sd = d.sensordata
+  g = _groups(m, [
+      _ST.VELOCIMETER, _ST.GYRO, _ST.JOINTVEL, _ST.TENDONVEL,
+      _ST.ACTUATORVEL, _ST.BALLANGVEL, _ST.JOINTLIMITVEL,
+      _ST.TENDONLIMITVEL, _ST.FRAMELINVEL, _ST.FRAMEANGVEL,
+      _ST.SUBTREELINVEL, _ST.SUBTREEANGMOM,
+  ])
+  if not g:
+    return d
+
+  subtree_vel = None
+  if _ST.SUBTREELINVEL in g or _ST.SUBTREEANGMOM in g:
+    subtree_vel = _subtree_vel(m, d)
+
+  for t, ids in g.items():
+    adr = m.sensor_adr[ids]
+    objid = m.sensor_objid[ids]
+    objtype = m.sensor_objtype[ids]
+    if t == _ST.JOINTVEL:
+      sd = _write(sd, adr, 1, d.qvel[m.jnt_dofadr[objid]])
+    elif t == _ST.TENDONVEL:
+      sd = _write(sd, adr, 1, d.ten_velocity[objid])
+    elif t == _ST.ACTUATORVEL:
+      sd = _write(sd, adr, 1, d.actuator_velocity[objid])
+    elif t == _ST.BALLANGVEL:
+      v = jnp.stack([d.qvel[m.jnt_dofadr[objid] + i] for i in range(3)],
+                    -1)
+      sd = _write(sd, adr, 3, v)
+    elif t in (_ST.JOINTLIMITVEL, _ST.TENDONLIMITVEL):
+      kind = 'jnt' if t == _ST.JOINTLIMITVEL else 'ten'
+      rows = _limit_row_for(m, kind, objid)
+      rr = np.maximum(rows, 0)
+      vel = d.efc_J[rr] @ d.qvel
+      vals = jnp.where(jnp.asarray(rows >= 0) & d.efc_active[rr], vel, 0.0)
+      sd = _write(sd, adr, 1, vals)
+    elif t == _ST.VELOCIMETER:
+      body = m.site_bodyid[objid]
+      _, lin = _point_vel(m, d, d.site_xpos[objid], body, flg_local=True,
+                          mat=d.site_xmat[objid])
+      sd = _write(sd, adr, 3, lin)
+    elif t == _ST.GYRO:
+      body = m.site_bodyid[objid]
+      ang, _ = _point_vel(m, d, d.site_xpos[objid], body, flg_local=True,
+                          mat=d.site_xmat[objid])
+      sd = _write(sd, adr, 3, ang)
+    elif t in (_ST.FRAMELINVEL, _ST.FRAMEANGVEL):
+      body = _obj_body(m, objtype, objid)
+      pos = _obj_pos(m, d, objtype, objid)
+      ang, lin = _point_vel(m, d, pos, body)
+      refid = m.sensor_refid[ids]
+      val = lin if t == _ST.FRAMELINVEL else ang
+      if np.any(refid >= 0):
+        reftype = m.sensor_reftype[ids]
+        rid = np.maximum(refid, 0)
+        refbody = _obj_body(m, reftype, rid)
+        refpos = _obj_pos(m, d, reftype, rid)
+        refmat = _obj_mat(m, d, reftype, rid)
+        rang, rlin = _point_vel(m, d, refpos, refbody)
+        if t == _ST.FRAMELINVEL:
+          # relative velocity of point in ref frame (mj_objectVelocity on
+          # the relative transform)
+          relv = lin - rlin - jnp.cross(rang, pos - refpos)
+          relv = jnp.einsum('nij,ni->nj', refmat, relv)
+          val = jnp.where(jnp.asarray(refid >= 0)[:, None], relv, val)
+        else:
+          rela = jnp.einsum('nij,ni->nj', refmat, ang - rang)
+          val = jnp.where(jnp.asarray(refid >= 0)[:, None], rela, val)
+      sd = _write(sd, adr, 3, val)
+    elif t == _ST.SUBTREELINVEL:
+      sd = _write(sd, adr, 3, subtree_vel[0][objid])
+    elif t == _ST.SUBTREEANGMOM:
+      sd = _write(sd, adr, 3, subtree_vel[1][objid])
+  return d.replace(sensordata=_apply_cutoff(m, sd, stage='vel'))
+
+
+def _subtree_vel(m: types.Model, d: types.Data):
+  """Subtree linear velocity and angular momentum (mj_subtreeVel)."""
+  dtype = d.qpos.dtype
+  mass = m.body_mass
+  # body CoM linear velocity in world frame
+  off = d.xipos - d.subtree_com[m.body_rootid]
+  ang = d.cvel[:, :3]
+  lin = d.cvel[:, 3:] - jnp.cross(off, ang)
+  sub = jnp.asarray(m.tree.subtree_mask, dtype)
+  mom = mass[:, None] * lin
+  subtree_mass = jnp.maximum(sub @ mass, 1e-12)
+  linvel = (sub @ mom) / subtree_mass[:, None]
+
+  # angular momentum about subtree com
+  # body spin momentum: I_world @ ang where I_world from ximat/inertia
+  I3 = d.ximat @ (m.body_inertia[:, :, None] *
+                  jnp.swapaxes(d.ximat, -1, -2))
+  spin = jnp.einsum('bij,bj->bi', I3, ang)
+  # orbital term: m * (xipos - subtree_com[root-of-subtree]) x (v - v_com)
+  # computed per (subtree, body) pair via the mask
+  com_s = d.subtree_com  # (nbody, 3) subtree com of each body
+  rel_p = d.xipos[None, :, :] - com_s[:, None, :]  # (s, b, 3)
+  rel_v = lin[None, :, :] - linvel[:, None, :]
+  orb = jnp.cross(rel_p, rel_v) * mass[None, :, None]
+  angmom = jnp.einsum('sb,sbi->si', sub, orb + spin[None, :, :])
+  return linvel, angmom
+
+
+def sensor_acc(m: types.Model, d: types.Data) -> types.Data:
+  """Acceleration-stage sensors (reference: sensor.py:2507)."""
+  if not m.nsensor or (m.opt.disableflags & types.DisableBit.SENSOR):
+    return d
+  dtype = d.qpos.dtype
+  g = _groups(m, [
+      _ST.TOUCH, _ST.ACCELEROMETER, _ST.FORCE, _ST.TORQUE,
+      _ST.ACTUATORFRC, _ST.JOINTACTFRC, _ST.JOINTLIMITFRC,
+      _ST.TENDONLIMITFRC, _ST.FRAMELINACC, _ST.FRAMEANGACC,
+  ])
+  if not g:
+    return d
+  d = smooth.rne_postconstraint(m, d)
+  sd = d.sensordata
+
+  for t, ids in g.items():
+    adr = m.sensor_adr[ids]
+    objid = m.sensor_objid[ids]
+    objtype = m.sensor_objtype[ids]
+    if t == _ST.ACTUATORFRC:
+      sd = _write(sd, adr, 1, d.actuator_force[objid])
+    elif t == _ST.JOINTACTFRC:
+      sd = _write(sd, adr, 1, d.qfrc_actuator[m.jnt_dofadr[objid]])
+    elif t in (_ST.JOINTLIMITFRC, _ST.TENDONLIMITFRC):
+      kind = 'jnt' if t == _ST.JOINTLIMITFRC else 'ten'
+      rows = _limit_row_for(m, kind, objid)
+      rr = np.maximum(rows, 0)
+      vals = jnp.where(jnp.asarray(rows >= 0) & d.efc_active[rr],
+                       d.efc_force[rr], 0.0)
+      sd = _write(sd, adr, 1, vals)
+    elif t == _ST.ACCELEROMETER:
+      body = m.site_bodyid[objid]
+      ang, lin = _point_acc(m, d, d.site_xpos[objid], body)
+      rt = jnp.swapaxes(d.site_xmat[objid], -1, -2)
+      sd = _write(sd, adr, 3, jnp.einsum('nij,nj->ni', rt, lin))
+    elif t in (_ST.FRAMELINACC, _ST.FRAMEANGACC):
+      body = _obj_body(m, objtype, objid)
+      pos = _obj_pos(m, d, objtype, objid)
+      ang, lin = _point_acc(m, d, pos, body)
+      sd = _write(sd, adr, 3, lin if t == _ST.FRAMELINACC else ang)
+    elif t in (_ST.FORCE, _ST.TORQUE):
+      body = m.site_bodyid[objid]
+      # cfrc_int at body, translated to site position, in site frame
+      off = d.site_xpos[objid] - d.subtree_com[m.body_rootid[body]]
+      cf = d.cfrc_int[body]
+      trq = cf[:, :3] - jnp.cross(off, cf[:, 3:])
+      frc = cf[:, 3:]
+      rt = jnp.swapaxes(d.site_xmat[objid], -1, -2)
+      val = frc if t == _ST.FORCE else trq
+      sd = _write(sd, adr, 3, jnp.einsum('nij,nj->ni', rt, val))
+    elif t == _ST.TOUCH:
+      # sum of normal contact forces on the site's body whose contact
+      # point lies in the site zone; approximated by body match (zone test
+      # refined later with site geometry)
+      body = m.site_bodyid[objid]
+      forces = smooth._contact_forces(m, d)
+      con = d.contact
+      fn = jnp.linalg.norm(forces[:, 3:], axis=-1)
+      active = con.dist < con.includemargin
+      b1 = m.geom_bodyid[con.geom1]
+      b2 = m.geom_bodyid[con.geom2]
+      vals = []
+      for b in body:
+        match = jnp.asarray((b1 == b) | (b2 == b)) & active
+        vals.append(jnp.sum(jnp.where(match, fn, 0.0)))
+      sd = _write(sd, adr, 1, jnp.stack(vals))
+  return d.replace(sensordata=_apply_cutoff(m, sd, stage='acc'))
+
+
+def _apply_cutoff(m: types.Model, sd, stage):
+  """Clamp sensordata by per-sensor cutoff (mjDATATYPE semantics)."""
+  if not np.any(np.asarray(jax.device_get(m.sensor_cutoff)) > 0):
+    return sd
+  # build static per-element cutoff/datatype tables
+  cut = np.zeros(m.nsensordata, np.float32)
+  positive = np.zeros(m.nsensordata, bool)
+  for s in range(m.nsensor):
+    c = float(jax.device_get(m.sensor_cutoff[s]))
+    a, dim = int(m.sensor_adr[s]), int(m.sensor_dim[s])
+    cut[a:a + dim] = c
+    positive[a:a + dim] = m.sensor_datatype[s] == 1  # mjDATATYPE_POSITIVE
+  cutj = jnp.asarray(cut)
+  has = cutj > 0
+  lo = jnp.where(jnp.asarray(positive), 0.0, -cutj)
+  return jnp.where(has, jnp.clip(sd, lo, cutj), sd)
+
+
+def _energy_pos_value(m: types.Model, d: types.Data):
+  """Potential energy: gravity + joint/tendon springs (sensor.py:2927)."""
+  dtype = d.qpos.dtype
+  e = jnp.zeros((), dtype)
+  if not (m.opt.disableflags & types.DisableBit.GRAVITY):
+    e = e - jnp.sum(m.body_mass[:, None] * d.xipos *
+                    m.opt.gravity.astype(dtype)[None, :])
+  if not (m.opt.disableflags & types.DisableBit.SPRING):
+    # joint springs
+    for jt in np.unique(m.jnt_type):
+      jids = np.nonzero(m.jnt_type == jt)[0]
+      k = m.jnt_stiffness[jids]
+      qadr = m.jnt_qposadr[jids]
+      if jt in (types.JointType.SLIDE, types.JointType.HINGE):
+        dif = d.qpos[qadr] - m.qpos_spring[qadr]
+        e = e + 0.5 * jnp.sum(k * dif * dif)
+      elif jt == types.JointType.BALL:
+        q = math.normalize_quat(
+            jnp.stack([d.qpos[qadr + i] for i in range(4)], -1))
+        qs = math.normalize_quat(
+            jnp.stack([m.qpos_spring[qadr + i] for i in range(4)], -1))
+        dif = math.quat_sub(q, qs)
+        e = e + 0.5 * jnp.sum(k * jnp.sum(dif * dif, -1))
+      else:  # FREE
+        dp = jnp.stack([d.qpos[qadr + i] - m.qpos_spring[qadr + i]
+                        for i in range(3)], -1)
+        e = e + 0.5 * jnp.sum(k * jnp.sum(dp * dp, -1))
+        q = math.normalize_quat(
+            jnp.stack([d.qpos[qadr + 3 + i] for i in range(4)], -1))
+        qs = math.normalize_quat(
+            jnp.stack([m.qpos_spring[qadr + 3 + i] for i in range(4)], -1))
+        dif = math.quat_sub(q, qs)
+        e = e + 0.5 * jnp.sum(k * jnp.sum(dif * dif, -1))
+    if m.ntendon:
+      lo = m.tendon_lengthspring[:, 0]
+      hi = m.tendon_lengthspring[:, 1]
+      dif = jnp.where(d.ten_length > hi, d.ten_length - hi,
+                      jnp.where(d.ten_length < lo, d.ten_length - lo, 0.0))
+      e = e + 0.5 * jnp.sum(m.tendon_stiffness * dif * dif)
+  return e
+
+
+def _energy_vel_value(m: types.Model, d: types.Data):
+  """Kinetic energy 0.5 vᵀMv (sensor.py:2997)."""
+  return 0.5 * jnp.dot(d.qvel, d.qM @ d.qvel)
+
+
+def energy_pos(m: types.Model, d: types.Data) -> types.Data:
+  if not (m.opt.enableflags & types.EnableBit.ENERGY):
+    return d
+  return d.replace(energy=d.energy.at[0].set(_energy_pos_value(m, d)))
+
+
+def energy_vel(m: types.Model, d: types.Data) -> types.Data:
+  if not (m.opt.enableflags & types.EnableBit.ENERGY):
+    return d
+  return d.replace(energy=d.energy.at[1].set(_energy_vel_value(m, d)))

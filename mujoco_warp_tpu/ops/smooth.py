@@ -260,6 +260,108 @@ def rne(m: types.Model, d: types.Data) -> types.Data:
   return d.replace(qfrc_bias=qfrc_bias)
 
 
+def rne_postconstraint(m: types.Model, d: types.Data) -> types.Data:
+  """Post-constraint body accelerations and interaction forces.
+
+  Counterpart of reference smooth.py:1742 (mj_rnePostConstraint): computes
+  cacc (com-frame body acceleration incl. constraint forces), cfrc_ext
+  (external wrenches: xfrc_applied + contact + connect/weld forces) and
+  cfrc_int (internal force transmitted from the parent), all as masked
+  matmuls over the static tree masks.
+  """
+  dtype = d.qpos.dtype
+  nb = m.nbody
+
+  # ---- cfrc_ext: applied Cartesian wrenches in the com-rooted frame
+  # xfrc rows are (force, torque) at body CoM (world frame)
+  force = d.xfrc_applied[:, :3]
+  torque = d.xfrc_applied[:, 3:]
+  offset = d.xipos - d.subtree_com[m.body_rootid]
+  cfrc_ext = jnp.concatenate(
+      [torque + jnp.cross(offset, force), force], axis=-1)
+
+  # contact forces (world frame at contact pos) onto both geom bodies
+  if m.ncon and not (m.opt.disableflags & types.DisableBit.CONTACT):
+    con = d.contact
+    forces = _contact_forces(m, d)  # (ncon, 6) [torque; force] world @ pos
+    b1 = m.geom_bodyid[con.geom1]
+    b2 = m.geom_bodyid[con.geom2]
+    active = (con.dist < con.includemargin)[:, None]
+    # wrench acts +on body2 (J = jac2 - jac1), -on body1; translate to each
+    # body's com-rooted frame origin
+    for bodies, sign in ((b2, 1.0), (b1, -1.0)):
+      off = con.pos - d.subtree_com[m.body_rootid[bodies]]
+      ang = forces[:, :3] + jnp.cross(off, forces[:, 3:])
+      w = sign * jnp.where(active,
+                           jnp.concatenate([ang, forces[:, 3:]], -1), 0.0)
+      cfrc_ext = cfrc_ext + jnp.zeros((nb, 6), dtype).at[bodies].add(w)
+  # (connect/weld equality reaction forces omitted for now; negligible for
+  #  force/torque sensors unless welds are present — tracked for parity)
+
+  # ---- cacc: forward accumulation (masked matmul)
+  cacc0 = jnp.concatenate(
+      [jnp.zeros((3,), dtype), -m.opt.gravity.astype(dtype)])
+  if m.opt.disableflags & types.DisableBit.GRAVITY:
+    cacc0 = jnp.zeros((6,), dtype)
+  bd = jnp.asarray(m.tree.body_dof_mask, dtype)
+  cacc = cacc0[None, :] + bd @ (d.cdof_dot * d.qvel[:, None] +
+                                d.cdof * d.qacc[:, None])
+  cacc = cacc.at[0].set(jnp.zeros((6,), dtype))
+
+  # ---- cfrc_int: backward accumulation over subtrees
+  iv = jnp.einsum('bij,bj->bi', d.cinert, d.cvel)
+  ia = jnp.einsum('bij,bj->bi', d.cinert, cacc)
+  cfrc_body = ia + math.motion_cross_force(d.cvel, iv)
+  sub = jnp.asarray(m.tree.subtree_mask, dtype)
+  cfrc_int = sub @ (cfrc_body - cfrc_ext)
+  cfrc_int = cfrc_int.at[0].set(jnp.zeros((6,), dtype))
+  return d.replace(cacc=cacc, cfrc_int=cfrc_int, cfrc_ext=cfrc_ext)
+
+
+def _contact_forces(m: types.Model, d: types.Data) -> jax.Array:
+  """World-frame contact wrenches (torque, force) at each contact point.
+
+  Counterpart of reference support.py:439 `contact_force` for all slots.
+  """
+  dtype = d.qpos.dtype
+  con = d.contact
+  ncon = m.ncon
+  out = jnp.zeros((ncon, 6), dtype)
+  if not ncon:
+    return out
+  is_elliptic = m.opt.cone == types.ConeType.ELLIPTIC
+  dims = np.asarray(con.dim)
+  for dim in np.unique(dims):
+    dim = int(dim)
+    idx = np.nonzero(dims == dim)[0]
+    adr = m.con_efc_address[idx]
+    if dim == 1:
+      fn = d.efc_force[adr]
+      local = jnp.stack([fn] + [jnp.zeros_like(fn)] * 5, -1)
+    elif is_elliptic:
+      rows = jnp.stack([d.efc_force[adr + i] for i in range(dim)], -1)
+      pad = [jnp.zeros_like(rows[:, 0])] * (6 - dim)
+      local = jnp.concatenate([rows] + [p[:, None] for p in pad], -1)
+    else:
+      # pyramidal: normal = sum of all pyramid forces; tangent components
+      # recovered as mu_i * (f+ - f-)
+      nrow = 2 * (dim - 1)
+      rows = jnp.stack([d.efc_force[adr + i] for i in range(nrow)], -1)
+      fn = jnp.sum(rows, -1)
+      fric = con.friction[idx]
+      comps = [fn]
+      for i in range(dim - 1):
+        comps.append(fric[:, i] * (rows[:, 2 * i] - rows[:, 2 * i + 1]))
+      comps += [jnp.zeros_like(fn)] * (6 - dim)
+      local = jnp.stack(comps, -1)
+    # rotate (force in contact frame rows) to world: f_w = frame^T f_local
+    frame = con.frame[idx]  # rows: n, t1, t2
+    f_w = jnp.einsum('nij,ni->nj', frame, local[:, :3])
+    t_w = jnp.einsum('nij,ni->nj', frame, local[:, 3:])
+    out = out.at[idx].set(jnp.concatenate([t_w, f_w], -1))
+  return out
+
+
 def tendon(m: types.Model, d: types.Data) -> types.Data:
   """Fixed tendon lengths and Jacobians (reference: smooth.py:4194).
 

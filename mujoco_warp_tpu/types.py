@@ -692,6 +692,11 @@ class Data:
   ncon_active: Array = None  # ()
   nefc_active: Array = None  # ()
 
+  # -------------------------------------------------- post-constraint (RNE)
+  cacc: Array = None  # (nbody, 6) com-frame acceleration
+  cfrc_int: Array = None  # (nbody, 6) force from parent
+  cfrc_ext: Array = None  # (nbody, 6) external wrenches
+
   # ------------------------------------------------------------ diagnostics
   solver_niter: Array = None  # () int32
   overflow: Array = None  # () int32 OverflowType bits

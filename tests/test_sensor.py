@@ -1,0 +1,55 @@
+"""Oracle tests for sensors + energy vs MuJoCo C.
+
+Counterpart of reference mujoco_warp/_src/sensor_test.py: run forward(),
+compare every sensordata entry against mjd.sensordata by sensor.
+"""
+
+import jax
+import mujoco
+import numpy as np
+import pytest
+
+from mujoco_warp_tpu import models
+from mujoco_warp_tpu.ops import forward as fwd
+from tests.oracle import assert_close, assert_quat_close
+
+
+@pytest.fixture(scope='module')
+def case():
+  mjm, mjd, m, d = models.fixture(
+      'sensors.xml', qpos_noise=0.2, qvel_noise=0.4, ctrl_noise=0.3,
+      nstep=30)
+  run = jax.jit(lambda d: fwd.forward(m, d))
+  d = jax.block_until_ready(run(d))
+  return mjm, mjd, m, d
+
+
+def test_sensordata(case):
+  mjm, mjd, m, d = case
+  ours = np.asarray(d.sensordata, np.float64)
+  fails = []
+  for s in range(mjm.nsensor):
+    adr, dim = mjm.sensor_adr[s], mjm.sensor_dim[s]
+    name = mujoco.mj_id2name(mjm, mujoco.mjtObj.mjOBJ_SENSOR, s) or f's{s}'
+    stype = mujoco.mjtSensor(mjm.sensor_type[s]).name
+    a = ours[adr:adr + dim]
+    b = mjd.sensordata[adr:adr + dim]
+    if stype in ('mjSENS_BALLQUAT', 'mjSENS_FRAMEQUAT'):
+      err = min(np.abs(a - b).max(), np.abs(a + b).max())
+    else:
+      err = np.abs(a - b).max()
+    tol = 5e-4 + 5e-3 * np.abs(b).max()
+    if err > tol:
+      fails.append(f'{name} ({stype}): err {err:.3e} ours={a} ref={b}')
+  assert not fails, '\n'.join(fails)
+
+
+def test_energy():
+  mjm, mjd, m, d = models.fixture(
+      'sensors.xml', qpos_noise=0.2, qvel_noise=0.4, nstep=10,
+      overrides=('opt.enableflags=2',))  # mjENBL_ENERGY
+  run = jax.jit(lambda d: fwd.forward(m, d))
+  d = jax.block_until_ready(run(d))
+  assert_close(d.energy[0], mjd.energy[0], 'potential', atol=1e-3,
+               rtol=1e-3)
+  assert_close(d.energy[1], mjd.energy[1], 'kinetic', atol=1e-3, rtol=1e-3)
