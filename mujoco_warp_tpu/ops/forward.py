@@ -357,9 +357,39 @@ def _step(m: types.Model, d: types.Data) -> types.Data:
   raise NotImplementedError(f'integrator {integ}')
 
 
-@_batched
 def step(m: types.Model, d: types.Data) -> types.Data:
-  return _step(m, d)
+  """One physics step; batched Data takes the stage-split fast path so the
+  solver can run as a Pallas world-tile megakernel."""
+  if d.qpos.ndim != 2:
+    return _step(m, d)
+
+  def pre(dd):
+    dd = fwd_position(m, dd)
+    dd = sensor.sensor_pos(m, dd)
+    dd = sensor.energy_pos(m, dd)
+    dd = fwd_velocity(m, dd)
+    dd = sensor.sensor_vel(m, dd)
+    dd = sensor.energy_vel(m, dd)
+    dd = fwd_actuation(m, dd)
+    dd = fwd_acceleration(m, dd)
+    return dd
+
+  def post(dd):
+    dd = sensor.sensor_acc(m, dd)
+    integ = m.opt.integrator
+    if integ == types.IntegratorType.EULER:
+      return euler(m, dd)
+    elif integ == types.IntegratorType.RK4:
+      return rungekutta4(m, dd)
+    elif integ in (types.IntegratorType.IMPLICIT,
+                   types.IntegratorType.IMPLICITFAST):
+      from mujoco_warp_tpu.ops import derivative
+      return derivative.implicit(m, dd)
+    raise NotImplementedError(f'integrator {integ}')
+
+  d = jax.vmap(pre)(d)
+  d = solver.solve_batched(m, d)
+  return jax.vmap(post)(d)
 
 
 @_batched

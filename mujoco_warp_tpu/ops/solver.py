@@ -527,6 +527,22 @@ def _gradient(m, d, st, Ma, force, state, Jaref, mu_scale):
   return grad, Mgrad, qfrc_constraint
 
 
+def solve_batched(m: types.Model, d: types.Data) -> types.Data:
+  """Batched solve: Pallas world-tile megakernel when applicable.
+
+  The Pallas path keeps each 128-world tile's whole Newton solve in VMEM
+  with worlds on the vector lanes (the TPU analog of the reference's
+  one-CUDA-thread-per-world parallelism); it covers the Newton solver with
+  pyramidal/frictionless cones.  Everything else falls back to the
+  reference-equivalent jnp path under vmap.
+  """
+  from mujoco_warp_tpu.pallas import solver as psolver
+
+  if psolver.supported(m, d):
+    return psolver.solve_batched(m, d)
+  return jax.vmap(lambda dd: solve(m, dd))(d)
+
+
 def solve(m: types.Model, d: types.Data) -> types.Data:
   """Solve for constrained qacc (reference: solver.py:3715 `solve`).
 

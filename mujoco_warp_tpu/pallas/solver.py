@@ -1,0 +1,474 @@
+"""Pallas world-tile Newton solver megakernel.
+
+TPU-native replacement for the batched constraint solve (reference:
+mujoco_warp/_src/solver.py:3715).  Design: the reference parallelizes one
+CUDA thread(block) per world; the TPU analog is **worlds on the 128-wide
+vector lanes**.  Each grid step loads one 128-world tile of the EFC system
+into VMEM with the world axis last — J (nefc, nv, 128), M (nv, nv, 128),
+vectors (·, 128) — and runs the entire Newton iteration (constraint
+update, gradient, lane-parallel Cholesky, bracketed linesearch) without
+touching HBM, eliminating the per-op kernel-launch overhead that dominates
+the pure-XLA path.
+
+All contractions are written as broadcast-multiply + axis reductions (VPU
+lane math) rather than dot_general — per-world matrices are far below MXU
+tile size, so the MXU path would waste >95% of the systolic array; on
+lanes every unit of work is real.
+
+Scope (v1): Newton solver, pyramidal/frictionless cones, dense
+fits-in-VMEM systems.  Elliptic cones and CG fall back to the jnp path
+(ops/solver.py).  Per-world scalars are kept as (1, W) tiles.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mujoco_warp_tpu import types
+
+TILE_W = 128
+_MINVAL = 1e-15
+_VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def supported(m: types.Model, d: types.Data) -> bool:
+  if m.opt.solver != types.SolverType.NEWTON:
+    return False
+  if m.opt.cone == types.ConeType.ELLIPTIC:
+    return False
+  if m.nefc == 0 or (m.opt.disableflags & types.DisableBit.CONSTRAINT):
+    return False
+  if d.qpos.ndim != 2 or d.qpos.shape[0] % TILE_W != 0:
+    return False
+  if jax.default_backend() == 'cpu':
+    # interpret mode is test-only; production CPU uses the jnp path
+    return False
+  vmem = 4 * TILE_W * (3 * m.nefc * m.nv + 2 * m.nv * m.nv +
+                       10 * m.nefc + 16 * m.nv)
+  return vmem < _VMEM_BUDGET
+
+
+def _masks(m: types.Model):
+  t = m.efc.efc_type
+  _CT = types.ConstraintType
+  is_eq = (t == _CT.EQUALITY)
+  is_fri = (t == _CT.FRICTION_DOF) | (t == _CT.FRICTION_TENDON)
+  return is_eq, is_fri
+
+
+def _sdiv(a, b):
+  return a / jnp.where(jnp.abs(b) > _MINVAL, b,
+                       jnp.where(b >= 0, _MINVAL, -_MINVAL))
+
+
+def _anchor(x):
+  """Force a concrete (non-replicated) Mosaic layout on a (1, W) vector.
+
+  Values produced by keepdims-reductions carry a lane-replicated layout;
+  Mosaic cannot relayout replicated→concrete inside while_loop carries
+  ("Invalid relayout" compile error), so loop-carried per-world scalars
+  are anchored by adding a zero iota term (which has a concrete layout).
+  """
+  z = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+  return x + z.astype(x.dtype) * jnp.zeros_like(x)
+
+
+def _chol_tile(H, nv):
+  """Lane-parallel Cholesky of (nv, nv, W), right-looking rank-1 updates.
+
+  Purely functional (no array updates): columns are collected and stacked,
+  since Mosaic lowers neither scatter nor value-level dynamic_update_slice.
+  """
+  A = H
+  cols = []
+  row = jax.lax.broadcasted_iota(jnp.int32, (nv, H.shape[-1]), 0)
+  for j in range(nv):
+    pivot = jax.lax.rsqrt(jnp.maximum(A[j, j, :], _MINVAL))  # (W,)
+    col = A[:, j, :] * pivot[None, :]  # (nv, W)
+    col = jnp.where(row >= j, col, 0.0)
+    cols.append(col)
+    A = A - col[:, None, :] * col[None, :, :]
+  return jnp.stack(cols, axis=1)  # (nv, nv, W), axis 1 = column index
+
+
+def _chol_solve_tile(L, b, nv):
+  """Solve L Lᵀ x = b with b (nv, W); column-oriented substitution.
+
+  Running-residual form: after computing y_j, subtract its column
+  contribution from the whole residual — no in-place row writes.
+  """
+  r = b
+  ys = []
+  for j in range(nv):
+    yj = r[j, :] / jnp.maximum(L[j, j, :], _MINVAL)
+    ys.append(yj)
+    r = r - L[:, j, :] * yj[None, :]
+  y = jnp.stack(ys, axis=0)  # (nv, W)
+
+  r = y
+  xs = [None] * nv
+  for i in reversed(range(nv)):
+    xi = r[i, :] / jnp.maximum(L[i, i, :], _MINVAL)
+    xs[i] = xi
+    # Lᵀ column i is L row i: subtract from residual rows k < i
+    r = r - L[i, :, :] * xi[None, :]
+  return jnp.stack(xs, axis=0)
+
+
+def _make_kernel(m: types.Model, dtype):
+  nv, nefc = m.nv, m.nefc
+  iterations = int(m.opt.iterations)
+  ls_iterations = int(m.opt.ls_iterations)
+
+  def kernel(J_ref, D_ref, aref_ref, fl_ref, M_ref, qfrc_smooth_ref,
+             qacc0_ref, w_eq_ref, w_fri_ref, tol_ref, ls_tol_ref,
+             meaninertia_ref, qacc_out, force_out, niter_out, scr_ref):
+    def _launder(x, row):
+      # normalize the Mosaic layout of a (1, W) per-world scalar by
+      # round-tripping through VMEM scratch: reduction results carry
+      # lane-replicated layouts that cannot enter loop carries alongside
+      # concrete ones (relayout/sublane-broadcast is unimplemented)
+      scr_ref[row:row + 1, :] = x
+      return scr_ref[row:row + 1, :]
+    J = J_ref[:]          # (nefc, nv, W)
+    D = D_ref[:]          # (nefc, W)
+    aref = aref_ref[:]
+    fl = fl_ref[:]
+    M = M_ref[:]          # (nv, nv, W)
+    qfrc_smooth = qfrc_smooth_ref[:]  # (nv, W)
+    qacc_in = qacc0_ref[:]
+    w_eq = w_eq_ref[:]    # (nefc, 1)
+    w_fri = w_fri_ref[:]
+    w_ql = 1.0 - w_eq - w_fri
+    tol = tol_ref[0, 0]
+    ls_tol = ls_tol_ref[0, 0]
+    meaninertia = meaninertia_ref[0, 0]
+    rescale = 1.0 / (meaninertia * float(nv))
+    rf = fl / jnp.maximum(D, _MINVAL)
+
+    def mat_vec_M(v):  # (nv, W) -> (nv, W)
+      return jnp.sum(M * v[None, :, :], axis=1)
+
+    def J_vec(v):  # (nv, W) -> (nefc, W)
+      return jnp.sum(J * v[None, :, :], axis=1)
+
+    def JT_vec(f):  # (nefc, W) -> (nv, W)
+      return jnp.sum(J * f[:, None, :], axis=0)
+
+    def update_constraint(Jaref):
+      act = (Jaref < 0.0).astype(dtype)
+      f = jnp.where(w_eq > 0, -D * Jaref, -D * Jaref * act)
+      q = jnp.where(w_eq > 0, 1.0, act)
+      f_fri = jnp.where(Jaref <= -rf, fl,
+                        jnp.where(Jaref >= rf, -fl, -D * Jaref))
+      q_fri = ((Jaref > -rf) & (Jaref < rf)).astype(dtype)
+      f = jnp.where(w_fri > 0, f_fri, f)
+      q = jnp.where(w_fri > 0, q_fri, q)
+      return f, q
+
+    def gradient(Ma, force, quad):
+      qfrc_c = JT_vec(force)
+      grad = Ma - qfrc_smooth - qfrc_c
+      Dq = D * quad  # (nefc, W)
+      # fold D into the i-row so no (nefc, nv, W) J·D copy is materialized
+      # (VMEM peak would double otherwise)
+      Hrows = [M[i] + jnp.sum((J[:, i, :] * Dq)[:, None, :] * J, axis=0)
+               for i in range(nv)]
+      H = jnp.stack(Hrows, axis=0)  # (nv, nv, W)
+      L = _chol_tile(H, nv)
+      Mgrad = _chol_solve_tile(L, grad, nv)
+      return grad, Mgrad
+
+    def eval_delta(alpha, Jaref, jv, g1, g2):
+      """alpha (1, W) -> (Δcost, φ', φ'') each (1, W)."""
+      x = Jaref + alpha * jv
+      jvD = jv * D
+      grad0 = jvD * Jaref
+      hess = jv * jvD
+
+      c_eq = alpha * (grad0 + 0.5 * alpha * hess)
+      g_eq = grad0 + alpha * hess
+      h_eq = hess
+
+      quad0 = 0.5 * D * Jaref * Jaref
+      on0 = (Jaref < 0.0).astype(dtype)
+      cost0 = quad0 * on0
+      offset = quad0 - cost0
+      on = (x < 0.0).astype(dtype)
+      c_ql = jnp.where(x < 0.0, c_eq + offset, -cost0)
+      g_ql = g_eq * on
+      h_ql = hess * on
+
+      def fri_pt(xx):
+        mid = (-rf < xx) & (xx < rf)
+        c = jnp.where(mid, 0.5 * D * xx * xx,
+                      jnp.where(xx <= -rf, fl * (-0.5 * rf - xx),
+                                fl * (-0.5 * rf + xx)))
+        g = jnp.where(mid, jvD * xx,
+                      jnp.where(xx <= -rf, -fl * jv, fl * jv))
+        h = jnp.where(mid, hess, 0.0)
+        return c, g, h
+
+      cf, gf, hf = fri_pt(x)
+      cf0 = jnp.where((-rf < Jaref) & (Jaref < rf), 0.5 * D * Jaref *
+                      Jaref,
+                      jnp.where(Jaref <= -rf, fl * (-0.5 * rf - Jaref),
+                                fl * (-0.5 * rf + Jaref)))
+
+      c = w_eq * c_eq + w_ql * c_ql + w_fri * (cf - cf0)
+      g = w_eq * g_eq + w_ql * g_ql + w_fri * gf
+      h = w_eq * h_eq + w_ql * h_ql + w_fri * hf
+      cost = jnp.sum(c, axis=0, keepdims=True) + alpha * alpha * g2 + \
+          alpha * g1
+      grad = jnp.sum(g, axis=0, keepdims=True) + 2.0 * alpha * g2 + g1
+      hessian = jnp.sum(h, axis=0, keepdims=True) + 2.0 * g2
+      return cost, grad, hessian
+
+    def eval_p0(Jaref, jv, g1, g2):
+      jvD = jv * D
+      grad0 = jvD * Jaref
+      hess = jv * jvD
+      on = (Jaref < 0.0).astype(dtype)
+      mid = ((-rf < Jaref) & (Jaref < rf)).astype(dtype)
+      g_fr = mid * grad0 + (1 - mid) * jnp.where(Jaref <= -rf, -fl * jv,
+                                                 fl * jv)
+      g = w_eq * grad0 + w_ql * grad0 * on + w_fri * g_fr
+      h = w_eq * hess + w_ql * hess * on + w_fri * hess * mid
+      return (jnp.sum(g, 0, keepdims=True) + g1,
+              jnp.sum(h, 0, keepdims=True) + 2.0 * g2)
+
+    def linesearch(Ma, Jaref, search):
+      jv = J_vec(search)
+      mv = mat_vec_M(search)
+      g1 = jnp.sum(search * (Ma - qfrc_smooth), axis=0, keepdims=True)
+      g2 = 0.5 * jnp.sum(search * mv, axis=0, keepdims=True)
+      snorm = jnp.sqrt(jnp.maximum(
+          jnp.sum(search * search, 0, keepdims=True), 0.0))
+      gtol = jnp.maximum(tol * ls_tol * snorm * meaninertia * float(nv),
+                         1e-6)
+
+      ev = lambda a: eval_delta(a, Jaref, jv, g1, g2)
+      p1, p2 = eval_p0(Jaref, jv, g1, g2)
+      p0c = jnp.zeros_like(p1)
+
+      lo_alpha_in = -_sdiv(p1, p2)
+      li_c, li_g, li_h = ev(lo_alpha_in)
+      # booleans are carried as f32 masks (bool (1, W) loop carries fail
+      # to legalize in Mosaic's scf.for lowering)
+      init_conv = ((jnp.abs(li_g) < gtol) & (li_c < 0.0)).astype(dtype)
+
+      lo_less = li_g < p1
+      pk = lambda c, a, b: jnp.where(c, a, b)
+      lo_c = pk(lo_less, li_c, p0c)
+      lo_g = pk(lo_less, li_g, p1)
+      lo_h = pk(lo_less, li_h, p2)
+      lo_a = jnp.where(lo_less, lo_alpha_in, 0.0)
+      hi_c = pk(lo_less, p0c, li_c)
+      hi_g = pk(lo_less, p1, li_g)
+      hi_h = pk(lo_less, p2, li_h)
+      hi_a = jnp.where(lo_less, 0.0, lo_alpha_in)
+
+      def in_bracket(xg, yg):
+        return ((xg < yg) & (yg < 0.0)) | ((xg > yg) & (yg > 0.0))
+
+      def body(k, carry):
+        (lo_c, lo_g, lo_h, lo_a, hi_c, hi_g, hi_h, hi_a, alpha, improve,
+         ls_done) = carry
+        lo_next_a = lo_a - _sdiv(lo_g, lo_h)
+        hi_next_a = hi_a - _sdiv(hi_g, hi_h)
+        mid_a = 0.5 * (lo_a + hi_a)
+        ln_c, ln_g, ln_h = ev(lo_next_a)
+        hn_c, hn_g, hn_h = ev(hi_next_a)
+        md_c, md_g, md_h = ev(mid_a)
+
+        def swap3(c, g, h, a, nc, ng, nh, na):
+          sw = in_bracket(g, ng)
+          return (jnp.where(sw, nc, c), jnp.where(sw, ng, g),
+                  jnp.where(sw, nh, h), jnp.where(sw, na, a), sw)
+
+        lc, lg, lh, la, s1 = swap3(lo_c, lo_g, lo_h, lo_a, ln_c, ln_g,
+                                   ln_h, lo_next_a)
+        lc, lg, lh, la, s2 = swap3(lc, lg, lh, la, md_c, md_g, md_h,
+                                   mid_a)
+        lc, lg, lh, la, s3 = swap3(lc, lg, lh, la, hn_c, hn_g, hn_h,
+                                   hi_next_a)
+        swap_lo = s1 | s2 | s3
+        hc, hg, hh, ha, t1 = swap3(hi_c, hi_g, hi_h, hi_a, hn_c, hn_g,
+                                   hn_h, hi_next_a)
+        hc, hg, hh, ha, t2 = swap3(hc, hg, hh, ha, md_c, md_g, md_h,
+                                   mid_a)
+        hc, hg, hh, ha, t3 = swap3(hc, hg, hh, ha, ln_c, ln_g, ln_h,
+                                   lo_next_a)
+        swap_hi = t1 | t2 | t3
+
+        done_now = ((~swap_lo & ~swap_hi) |
+                    ((lc < 0.0) & (lg < 0.0) & (lg > -gtol)) |
+                    ((hc < 0.0) & (hg > 0.0) & (hg < gtol))).astype(dtype)
+        improved = (lc < 0.0) | (hc < 0.0)
+        lo_better = lc < hc
+        best_a = jnp.where(lo_better, la, ha)
+        best_c = jnp.where(lo_better, lc, hc)
+        upd = improved & (ls_done < 0.5)
+        alpha = jnp.where(upd, best_a, alpha)
+        improve = jnp.where(upd, -best_c, improve)
+        frz = lambda new, old: jnp.where(ls_done > 0.5, old, new)
+        return (frz(lc, lo_c), frz(lg, lo_g), frz(lh, lo_h),
+                frz(la, lo_a), frz(hc, hi_c), frz(hg, hi_g),
+                frz(hh, hi_h), frz(ha, hi_a), alpha, improve,
+                jnp.maximum(ls_done, done_now))
+
+      zero = 0.0 * p1  # replicated-layout zero (see newton carry note)
+      carry = (lo_c, lo_g, lo_h, lo_a, hi_c, hi_g, hi_h, hi_a, zero,
+               zero, init_conv, zero)
+
+      def ls_cond(c):
+        # early exit once every lane's bracket converged (the fori
+        # alternative always runs ls_iterations trips — dominant cost)
+        it = c[11]
+        return (jnp.sum(1.0 - c[10]) > 0.0) & (it[0, 0] < ls_iterations)
+
+      def ls_body(c):
+        out = body(0, c[:11])
+        return out + (c[11] + 1.0,)
+
+      carry = jax.lax.while_loop(ls_cond, ls_body, carry)
+      alpha = _launder(jnp.where(init_conv > 0.5, lo_alpha_in, carry[8]),
+                       0)
+      improve = _launder(jnp.where(init_conv > 0.5, -li_c, carry[9]), 1)
+      return alpha, improve, jv, mv
+
+    # ---- init
+    Jaref = J_vec(qacc_in) - aref
+    Ma = mat_vec_M(qacc_in)
+    force, quad = update_constraint(Jaref)
+    grad, Mgrad = gradient(Ma, force, quad)
+    search = -Mgrad
+
+    def newton_body(carry):
+      qacc, Ma, Jaref, force, search, niter, done_f = carry
+      alpha, improve, jv, mv = linesearch(Ma, Jaref, search)
+      qacc_n = qacc + alpha * search
+      Ma_n = Ma + alpha * mv
+      Jaref_n = Jaref + alpha * jv
+      force_n, quad_n = update_constraint(Jaref_n)
+      grad_n, Mgrad_n = gradient(Ma_n, force_n, quad_n)
+      search_n = -Mgrad_n
+
+      # done/niter are carried as f32 with anchored layouts: Mosaic cannot
+      # relayout lane-replicated (1, W) reduction results inside while
+      # carries, and rejects i32 selects on them
+      niter_n = niter + (1.0 - done_f)
+      gnorm = rescale * jnp.sqrt(jnp.maximum(
+          jnp.sum(grad_n * grad_n, 0, keepdims=True), 0.0))
+      impr = rescale * improve
+      model_impr = rescale * 0.5 * jnp.sum(grad_n * Mgrad_n, 0,
+                                           keepdims=True)
+      done_now = ((impr < tol) | (gnorm < tol) | (model_impr < tol) |
+                  (niter_n >= iterations)).astype(dtype)
+      done_nf = jnp.maximum(done_f, done_now)
+
+      keep = lambda new, old: jnp.where(done_f > 0, old, new)
+      return (keep(qacc_n, qacc), keep(Ma_n, Ma), keep(Jaref_n, Jaref),
+              keep(force_n, force), keep(search_n, search),
+              _launder(niter_n, 2), _launder(done_nf, 3))
+
+    def newton_cond(carry):
+      return jnp.sum(1.0 - carry[-1]) > 0.0
+
+    W = qacc_in.shape[-1]
+    # inits derive from a keepdims-reduction so their Mosaic layout is
+    # lane-replicated, matching every value produced inside the loop body
+    # (reductions are replicated; mixing replicated and concrete layouts in
+    # a while carry is an unsupported relayout). 0.0*x is not folded (NaN
+    # semantics), so the layout provenance survives canonicalization.
+    zrep = 0.0 * jnp.sum(qacc_in, axis=0, keepdims=True)
+    niter0 = _launder(zrep, 2)
+    done0 = _launder(zrep, 3)
+    carry = (qacc_in, Ma, Jaref, force, search, niter0, done0)
+    carry = jax.lax.while_loop(newton_cond, newton_body, carry)
+    qacc_f, force_f, niter_f = carry[0], carry[3], carry[5]
+
+    qacc_out[:] = qacc_f
+    force_out[:] = force_f
+    niter_out[:] = niter_f.astype(jnp.int32)
+
+  return kernel
+
+
+def _solve_tiles(m: types.Model, J, D, aref, fl, M, qfrc_smooth, qacc0,
+                 tol, ls_tol, meaninertia, interpret=False):
+  dtype = J.dtype
+  W = J.shape[-1]
+  nv, nefc = m.nv, m.nefc
+
+  def bw(*lead):
+    nlead = len(lead)
+    return pl.BlockSpec(lead + (TILE_W,),
+                        lambda i, _n=nlead: (0,) * _n + (i,),
+                        memory_space=pltpu.VMEM)
+
+  smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+  mask_spec = pl.BlockSpec((nefc, 1), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+  is_eq, is_fri = _masks(m)
+  w_eq = jnp.asarray(is_eq.astype(np.float32), dtype)[:, None]
+  w_fri = jnp.asarray(is_fri.astype(np.float32), dtype)[:, None]
+  kernel = _make_kernel(m, dtype)
+  qacc, force, niter = pl.pallas_call(
+      kernel,
+      grid=(W // TILE_W,),
+      in_specs=[
+          bw(nefc, nv), bw(nefc), bw(nefc), bw(nefc), bw(nv, nv), bw(nv),
+          bw(nv), mask_spec, mask_spec, smem, smem, smem,
+      ],
+      out_specs=[bw(nv), bw(nefc), bw(1)],
+      out_shape=[
+          jax.ShapeDtypeStruct((nv, W), dtype),
+          jax.ShapeDtypeStruct((nefc, W), dtype),
+          jax.ShapeDtypeStruct((1, W), jnp.int32),
+      ],
+      scratch_shapes=[pltpu.VMEM((8, TILE_W), dtype)],
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=interpret,
+  )(J, D, aref, fl, M, qfrc_smooth, qacc0, w_eq, w_fri, tol, ls_tol,
+    meaninertia)
+  return qacc, force, niter
+
+
+def solve_batched(m: types.Model, d: types.Data,
+                  interpret: bool = False) -> types.Data:
+  """Batched Newton solve via the world-tile megakernel."""
+  dtype = d.qpos.dtype
+  J = jnp.moveaxis(d.efc_J, 0, -1)  # (nefc, nv, W)
+  D = d.efc_D.T
+  aref = d.efc_aref.T
+  fl = d.efc_frictionloss.T
+  M = jnp.moveaxis(d.qM, 0, -1)  # (nv, nv, W)
+  qfrc_smooth = d.qfrc_smooth.T
+  if m.opt.disableflags & types.DisableBit.WARMSTART:
+    qacc0 = d.qacc_smooth.T
+  else:
+    qacc0 = d.qacc_warmstart.T
+
+  tol = m.opt.tolerance.astype(dtype).reshape(1, 1)
+  ls_tol = m.opt.ls_tolerance.astype(dtype).reshape(1, 1)
+  meaninertia = m.stat.meaninertia.astype(dtype).reshape(1, 1)
+
+  qacc, force, niter = _solve_tiles(
+      m, J, D, aref, fl, M, qfrc_smooth, qacc0, tol, ls_tol, meaninertia,
+      interpret=interpret)
+
+  qacc_w = qacc.T
+  force_w = force.T
+  qfrc_constraint = jnp.einsum('wrv,wr->wv', d.efc_J, force_w)
+  return d.replace(
+      qacc=qacc_w,
+      qacc_warmstart=qacc_w,
+      qfrc_constraint=qfrc_constraint,
+      efc_force=force_w,
+      solver_niter=niter[0].astype(jnp.int32))
