@@ -317,11 +317,11 @@ def rungekutta4(m: types.Model, d: types.Data) -> types.Data:
     qacc_rk = qacc_rk + B[i + 1] * dd.qacc
     act_dot_rk = act_dot_rk + B[i + 1] * dd.act_dot
 
-  d = d.replace(qpos=qpos_t0, qvel=qvel_rk, act=act_t0,
-                act_dot=act_dot_rk)
-  out = _advance(m, d, qacc_rk, qvel=qvel_rk)
-  # RK4 advances qpos from t0 by the averaged velocity; restore qacc of last
-  return out.replace(qacc=d.qacc)
+  # restore the t0 state, then advance by the averaged derivatives:
+  # qvel += dt·qacc_rk while qpos integrates with qvel_rk (reference:551-557)
+  d = d.replace(qpos=qpos_t0, qvel=qvel_t0, act=act_t0,
+                act_dot=act_dot_rk, qacc=dd.qacc)
+  return _advance(m, d, qacc_rk, qvel=qvel_rk)
 
 
 # ------------------------------------------------------------------- pipeline
