@@ -459,7 +459,7 @@ def _empty_data(m: types.Model, dtype=np.float32) -> types.Data:
       qfrc_bias=z(m.nv), qfrc_spring=z(m.nv), qfrc_damper=z(m.nv),
       qfrc_gravcomp=z(m.nv), qfrc_fluid=z(m.nv), qfrc_passive=z(m.nv),
       act_dot=z(m.na), actuator_force=z(m.nu), qfrc_actuator=z(m.nv),
-      qfrc_smooth=z(m.nv), qacc_smooth=z(m.nv),
+      qfrc_smooth=z(m.nv), qacc_smooth=z(m.nv), qfrc_inverse=z(m.nv),
       qfrc_constraint=z(m.nv), qacc=z(m.nv), qacc_warmstart=z(m.nv),
       contact=contact,
       efc_J=z(m.nefc, m.nv), efc_pos=z(m.nefc), efc_margin=z(m.nefc),
@@ -526,7 +526,56 @@ def get_data_into(mjd: mujoco.MjData, mjm: mujoco.MjModel, d: types.Data,
     mjd.sensordata[:] = np.asarray(d.sensordata, np.float64)
 
 
-def reset_data(m: types.Model, d: types.Data) -> types.Data:
-  """Reset to qpos0 (reference: io.py:2455)."""
+def reset_data(m: types.Model, d: types.Data,
+               reset_mask=None) -> types.Data:
+  """Reset to qpos0, optionally per-world (reference: io.py:2455).
+
+  ``reset_mask``: optional (nworld,) bool — only masked worlds reset.
+  """
   fresh = make_data(m, nworld=types.nworld(d))
-  return fresh
+  if reset_mask is None:
+    return fresh
+
+  def pick(new, old):
+    mask = reset_mask.reshape((-1,) + (1,) * (new.ndim - 1))
+    return jnp.where(mask, new, old)
+
+  return jax.tree.map(pick, fresh, d)
+
+
+_ENUM_VALUES = {
+    'solver': {'cg': types.SolverType.CG, 'newton': types.SolverType.NEWTON},
+    'integrator': {
+        'euler': types.IntegratorType.EULER, 'rk4': types.IntegratorType.RK4,
+        'implicit': types.IntegratorType.IMPLICIT,
+        'implicitfast': types.IntegratorType.IMPLICITFAST},
+    'cone': {'pyramidal': types.ConeType.PYRAMIDAL,
+             'elliptic': types.ConeType.ELLIPTIC},
+    'broadphase': {'nxn': types.BroadphaseType.NXN,
+                   'sap': types.BroadphaseType.SAP},
+}
+
+
+def override_model(m: types.Model, overrides) -> types.Model:
+  """Dotted-path option overrides (reference: io.py:3749 `override_model`).
+
+  e.g. ``override_model(m, ['opt.solver=cg', 'opt.iterations=20',
+  'opt.timestep=0.002'])``.  Static fields trigger recompilation (they are
+  trace-time constants); array fields are swept without recompiling.
+  """
+  for ov in overrides:
+    key, val = ov.split('=')
+    parts = key.split('.')
+    if parts[0] != 'opt':
+      raise NotImplementedError(f'override path {key!r} not supported '
+                                '(only opt.* for now)')
+    name = parts[1]
+    cur = getattr(m.opt, name)
+    if name in _ENUM_VALUES and not val.lstrip('-').isdigit():
+      new = int(_ENUM_VALUES[name][val.lower()])
+    elif isinstance(cur, (int, bool)):
+      new = type(cur)(float(val))
+    else:  # jax array field
+      new = jnp.asarray(np.asarray(float(val), np.asarray(cur).dtype))
+    m = m.replace(opt=m.opt.replace(**{name: new}))
+  return m

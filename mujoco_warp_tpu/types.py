@@ -672,6 +672,7 @@ class Data:
   # ----------------------------------------------------------- acceleration
   qfrc_smooth: Array = None  # (nv,)
   qacc_smooth: Array = None  # (nv,)
+  qfrc_inverse: Array = None  # (nv,)
   qfrc_constraint: Array = None  # (nv,)
   qacc: Array = None  # (nv,)
   qacc_warmstart: Array = None  # (nv,)
