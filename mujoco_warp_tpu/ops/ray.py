@@ -1,0 +1,183 @@
+"""Ray casting against geoms: analytic intersections, batched.
+
+TPU-native counterpart of reference mujoco_warp/_src/ray.py (`ray`:1180,
+`rays`:1224): analytic ray-geom tests for plane/sphere/capsule/ellipsoid/
+cylinder/box, vectorized over (nray, ngeom) pairs rather than one thread
+per (ray, geom).  Mesh/hfield BVH rays land with the renderer phase.
+
+Conventions follow mju_ray*: return the smallest t >= 0 along
+``pnt + t·vec`` or -1 (here: +inf internally, -1 at the API edge), and
+respect geom_group/flg_static filtering.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_warp_tpu import types
+
+_GT = types.GeomType
+_INF = jnp.inf
+
+
+def _to_local(pnt, vec, pos, mat):
+  """Transform rays into geom-local frames. pnt/vec (R, 3); pos/mat per
+  geom (G, 3)/(G, 3, 3) → (R, G, 3)."""
+  rel = pnt[:, None, :] - pos[None, :, :]
+  lp = jnp.einsum('gij,rgi->rgj', mat, rel)
+  lv = jnp.einsum('gij,ri->rgj', mat, vec)
+  return lp, lv
+
+
+def _ray_plane(lp, lv, size):
+  """z=0 plane with optional half-extent bounds (size[0], size[1])."""
+  t = -lp[..., 2] / jnp.where(jnp.abs(lv[..., 2]) > 1e-15, lv[..., 2],
+                              1e-15)
+  px = lp[..., 0] + t * lv[..., 0]
+  py = lp[..., 1] + t * lv[..., 1]
+  ok = (t >= 0) & (jnp.abs(lv[..., 2]) > 1e-15)
+  bounded_x = size[..., 0] <= 0
+  bounded_y = size[..., 1] <= 0
+  ok &= bounded_x | (jnp.abs(px) <= size[..., 0])
+  ok &= bounded_y | (jnp.abs(py) <= size[..., 1])
+  return jnp.where(ok, t, _INF)
+
+
+def _quadratic(a, b, c):
+  """Smallest non-negative root of a t² + 2b t + c = 0, else inf."""
+  det = b * b - a * c
+  ok = det >= 0
+  sq = jnp.sqrt(jnp.maximum(det, 0.0))
+  a_s = jnp.where(jnp.abs(a) > 1e-15, a, 1e-15)
+  t0 = (-b - sq) / a_s
+  t1 = (-b + sq) / a_s
+  t = jnp.where(t0 >= 0, t0, jnp.where(t1 >= 0, t1, _INF))
+  return jnp.where(ok, t, _INF)
+
+
+def _ray_sphere(lp, lv, r):
+  a = jnp.sum(lv * lv, -1)
+  b = jnp.sum(lp * lv, -1)
+  c = jnp.sum(lp * lp, -1) - r * r
+  return _quadratic(a, b, c)
+
+
+def _ray_capsule(lp, lv, r, half):
+  # cylinder part
+  a = lv[..., 0] ** 2 + lv[..., 1] ** 2
+  b = lp[..., 0] * lv[..., 0] + lp[..., 1] * lv[..., 1]
+  c = lp[..., 0] ** 2 + lp[..., 1] ** 2 - r * r
+  t_cyl = _quadratic(a, b, c)
+  z = lp[..., 2] + t_cyl * lv[..., 2]
+  t_cyl = jnp.where(jnp.abs(z) <= half, t_cyl, _INF)
+  # caps
+  for sign in (1.0, -1.0):
+    cap = lp - 0.0
+    capc = jnp.stack([lp[..., 0], lp[..., 1], lp[..., 2] - sign * half],
+                     -1)
+    a2 = jnp.sum(lv * lv, -1)
+    b2 = jnp.sum(capc * lv, -1)
+    c2 = jnp.sum(capc * capc, -1) - r * r
+    t_cap = _quadratic(a2, b2, c2)
+    zc = lp[..., 2] + t_cap * lv[..., 2]
+    valid = jnp.where(sign > 0, zc > half, zc < -half)
+    t_cap = jnp.where(valid, t_cap, _INF)
+    t_cyl = jnp.minimum(t_cyl, t_cap)
+  return t_cyl
+
+
+def _ray_ellipsoid(lp, lv, size):
+  inv = 1.0 / jnp.maximum(size, 1e-15)
+  p = lp * inv
+  v = lv * inv
+  return _quadratic(jnp.sum(v * v, -1), jnp.sum(p * v, -1),
+                    jnp.sum(p * p, -1) - 1.0)
+
+
+def _ray_cylinder(lp, lv, r, half):
+  a = lv[..., 0] ** 2 + lv[..., 1] ** 2
+  b = lp[..., 0] * lv[..., 0] + lp[..., 1] * lv[..., 1]
+  c = lp[..., 0] ** 2 + lp[..., 1] ** 2 - r * r
+  t_side = _quadratic(a, b, c)
+  z = lp[..., 2] + t_side * lv[..., 2]
+  t_side = jnp.where(jnp.abs(z) <= half, t_side, _INF)
+  # caps (z = ±half disks)
+  vz = jnp.where(jnp.abs(lv[..., 2]) > 1e-15, lv[..., 2], 1e-15)
+  for sign in (1.0, -1.0):
+    t_cap = (sign * half - lp[..., 2]) / vz
+    x = lp[..., 0] + t_cap * lv[..., 0]
+    y = lp[..., 1] + t_cap * lv[..., 1]
+    ok = (t_cap >= 0) & (x * x + y * y <= r * r)
+    t_side = jnp.minimum(t_side, jnp.where(ok, t_cap, _INF))
+  return t_side
+
+
+def _ray_box(lp, lv, size):
+  t_best = jnp.full(lp.shape[:-1], _INF, lp.dtype)
+  for axis in range(3):
+    o1, o2 = (axis + 1) % 3, (axis + 2) % 3
+    va = jnp.where(jnp.abs(lv[..., axis]) > 1e-15, lv[..., axis], 1e-15)
+    for sign in (1.0, -1.0):
+      t = (sign * size[..., axis] - lp[..., axis]) / va
+      p1 = lp[..., o1] + t * lv[..., o1]
+      p2 = lp[..., o2] + t * lv[..., o2]
+      ok = ((t >= 0) & (jnp.abs(p1) <= size[..., o1]) &
+            (jnp.abs(p2) <= size[..., o2]))
+      t_best = jnp.minimum(t_best, jnp.where(ok, t, _INF))
+  return t_best
+
+
+def rays(m: types.Model, d: types.Data, pnt: jax.Array, vec: jax.Array,
+         geomgroup=None, flg_static: bool = True,
+         bodyexclude: int = -1):
+  """Batched ray cast (reference: ray.py:1224 `rays`).
+
+  pnt/vec: (R, 3).  Returns (dist (R,), geomid (R,)) with dist=-1 where no
+  geom is hit (mju_ray convention).
+  """
+  dtype = d.qpos.dtype
+  G = m.ngeom
+  gt = m.geom_type
+  t_all = jnp.full((pnt.shape[0], G), _INF, dtype)
+  lp, lv = _to_local(pnt, vec, d.geom_xpos, d.geom_xmat)
+  size = m.geom_size
+
+  for g_type, fn in (
+      (_GT.PLANE, lambda i: _ray_plane(lp[:, i], lv[:, i], size[i])),
+      (_GT.SPHERE, lambda i: _ray_sphere(lp[:, i], lv[:, i], size[i, 0])),
+      (_GT.CAPSULE, lambda i: _ray_capsule(lp[:, i], lv[:, i], size[i, 0],
+                                           size[i, 1])),
+      (_GT.ELLIPSOID, lambda i: _ray_ellipsoid(lp[:, i], lv[:, i],
+                                               size[i])),
+      (_GT.CYLINDER, lambda i: _ray_cylinder(lp[:, i], lv[:, i],
+                                             size[i, 0], size[i, 1])),
+      (_GT.BOX, lambda i: _ray_box(lp[:, i], lv[:, i], size[i])),
+  ):
+    ids = np.nonzero(gt == g_type)[0]
+    if len(ids):
+      t_all = t_all.at[:, ids].set(
+          jnp.stack([fn(int(i)) for i in ids], axis=-1))
+
+  # filtering: static bodies, body exclusion, geom groups
+  mask = np.ones(G, bool)
+  if bodyexclude >= 0:
+    mask &= m.geom_bodyid != bodyexclude
+  if not flg_static:
+    mask &= m.geom_bodyid != 0
+  if geomgroup is not None:
+    # mjtNum geomgroup[mjNGROUP]; model has no geom_group yet — accept all
+    pass
+  t_all = jnp.where(jnp.asarray(mask)[None, :], t_all, _INF)
+
+  t = jnp.min(t_all, axis=-1)
+  gid = jnp.argmin(t_all, axis=-1).astype(jnp.int32)
+  hit = jnp.isfinite(t)
+  return jnp.where(hit, t, -1.0), jnp.where(hit, gid, -1)
+
+
+def ray(m: types.Model, d: types.Data, pnt, vec, **kw):
+  """Single-ray convenience wrapper (reference: ray.py:1180)."""
+  dist, gid = rays(m, d, pnt[None, :], vec[None, :], **kw)
+  return dist[0], gid[0]

@@ -135,6 +135,7 @@ def sensor_pos(m: types.Model, d: types.Data) -> types.Data:
       _ST.BALLQUAT, _ST.JOINTLIMITPOS, _ST.TENDONLIMITPOS, _ST.FRAMEPOS,
       _ST.FRAMEQUAT, _ST.FRAMEXAXIS, _ST.FRAMEYAXIS, _ST.FRAMEZAXIS,
       _ST.SUBTREECOM, _ST.CLOCK, _ST.E_POTENTIAL, _ST.E_KINETIC,
+      _ST.RANGEFINDER,
   ])
 
   for t, ids in g.items():
@@ -238,6 +239,18 @@ def sensor_pos(m: types.Model, d: types.Data) -> types.Data:
       b = m.opt.magnetic.astype(dtype)
       sd = _write(sd, adr, 3,
                   jnp.einsum('nji,j->ni', mat, b))
+    elif t == _ST.RANGEFINDER:
+      from mujoco_warp_tpu.ops import ray as ray_ops
+      pnt = d.site_xpos[objid]
+      direc = d.site_xmat[objid][:, :, 2]  # site z-axis
+      body = m.site_bodyid[objid]
+      vals = jnp.zeros((len(ids),), dtype)
+      for b in np.unique(body):
+        sel = np.nonzero(body == b)[0]
+        dist, _ = ray_ops.rays(m, d, pnt[sel], direc[sel],
+                               bodyexclude=int(b))
+        vals = vals.at[sel].set(dist)
+      sd = _write(sd, adr, 1, vals)
     elif t == _ST.CLOCK:
       sd = _write(sd, adr, 1,
                   jnp.broadcast_to(d.time[None], (len(ids), 1)))
