@@ -241,7 +241,7 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32) -> types.Model:
       njnt=mjm.njnt, ngeom=mjm.ngeom, nsite=mjm.nsite, ncam=mjm.ncam,
       nlight=mjm.nlight, nmocap=mjm.nmocap, neq=mjm.neq,
       ntendon=mjm.ntendon, nwrap=mjm.nwrap, nsensor=mjm.nsensor,
-      nsensordata=mjm.nsensordata,
+      nsensordata=mjm.nsensordata, nhistory=mjm.nhistory,
       ne=ne, nf=nf, nl=nl, nefc=nefc, ncon=ncon,
       opt=opt, stat=stat, tree=tree, efc=efc_layout,
       qpos0=_jnp(mjm.qpos0, dtype),
@@ -316,6 +316,29 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32) -> types.Model:
       site_bodyid=mjm.site_bodyid.copy(),
       site_pos=_jnp(mjm.site_pos, dtype),
       site_quat=_jnp(mjm.site_quat, dtype),
+      # camera / light
+      cam_mode=mjm.cam_mode.copy(),
+      cam_bodyid=mjm.cam_bodyid.copy(),
+      cam_targetbodyid=mjm.cam_targetbodyid.copy(),
+      cam_pos=_jnp(mjm.cam_pos, dtype),
+      cam_quat=_jnp(mjm.cam_quat, dtype),
+      cam_poscom0=_jnp(mjm.cam_poscom0, dtype),
+      cam_pos0=_jnp(mjm.cam_pos0, dtype),
+      cam_mat0=_jnp(mjm.cam_mat0.reshape(-1, 3, 3), dtype),
+      cam_fovy=_jnp(mjm.cam_fovy, dtype),
+      cam_intrinsic=_jnp(mjm.cam_intrinsic, dtype),
+      cam_sensorsize=_jnp(mjm.cam_sensorsize, dtype),
+      cam_resolution=mjm.cam_resolution.copy(),
+      light_mode=mjm.light_mode.copy(),
+      light_bodyid=mjm.light_bodyid.copy(),
+      light_targetbodyid=mjm.light_targetbodyid.copy(),
+      light_directional=(mjm.light_type ==
+                         int(mujoco.mjtLightType.mjLIGHT_DIRECTIONAL)),
+      light_pos=_jnp(mjm.light_pos, dtype),
+      light_dir=_jnp(mjm.light_dir, dtype),
+      light_poscom0=_jnp(mjm.light_poscom0, dtype),
+      light_pos0=_jnp(mjm.light_pos0, dtype),
+      light_dir0=_jnp(mjm.light_dir0, dtype),
       # equality
       eq_type=mjm.eq_type.copy(),
       eq_obj1id=mjm.eq_obj1id.copy(),
@@ -381,6 +404,13 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32) -> types.Model:
       sensor_dim=mjm.sensor_dim.copy(),
       sensor_adr=mjm.sensor_adr.copy(),
       sensor_cutoff=_jnp(mjm.sensor_cutoff, dtype),
+      actuator_history=mjm.actuator_history.copy().reshape(-1, 2),
+      actuator_historyadr=mjm.actuator_historyadr.copy(),
+      actuator_delay=mjm.actuator_delay.copy(),
+      sensor_history=mjm.sensor_history.copy().reshape(-1, 2),
+      sensor_historyadr=mjm.sensor_historyadr.copy(),
+      sensor_delay=mjm.sensor_delay.copy(),
+      sensor_interval=mjm.sensor_interval.copy(),
       # collision tables
       pair_geom1=pairs.pair_geom1,
       pair_geom2=pairs.pair_geom2,
@@ -404,6 +434,9 @@ def make_data(m: types.Model, nworld: Optional[int] = None,
   """Allocate a fresh Data at qpos0 (reference: io.py:1712 `make_data`)."""
   d = _empty_data(m, dtype)
   d = d.replace(qpos=jnp.asarray(m.qpos0, dtype))
+  if m.nhistory:
+    from mujoco_warp_tpu.ops import history as history_ops
+    d = history_ops.init_history(m, d)
   if nworld is not None:
     d = jax.tree.map(lambda x: jnp.broadcast_to(x, (nworld,) + x.shape), d)
   return d
@@ -449,6 +482,8 @@ def _empty_data(m: types.Model, dtype=np.float32) -> types.Data:
       geom_xmat=eye(m.ngeom),
       site_xpos=z(m.nsite, 3),
       site_xmat=eye(m.nsite),
+      cam_xpos=z(m.ncam, 3), cam_xmat=eye(m.ncam),
+      light_xpos=z(m.nlight, 3), light_xdir=z(m.nlight, 3),
       subtree_com=z(m.nbody, 3),
       cinert=z(m.nbody, 6, 6), cdof=z(m.nv, 6),
       crb=z(m.nbody, 6, 6), qM=z(m.nv, m.nv), qLD=z(m.nv, m.nv),
@@ -472,6 +507,7 @@ def _empty_data(m: types.Model, dtype=np.float32) -> types.Data:
       nl_active=jnp.zeros((), jnp.int32),
       ncon_active=jnp.zeros((), jnp.int32),
       nefc_active=jnp.zeros((), jnp.int32),
+      history=z(m.nhistory),
       solver_niter=jnp.zeros((), jnp.int32),
       overflow=jnp.zeros((), jnp.int32),
       energy=z(2),
@@ -496,6 +532,7 @@ def put_data(mjm: mujoco.MjModel, mjd: mujoco.MjData, m: types.Model,
       mocap_quat=_jnp(mjd.mocap_quat, dtype),
       qacc_warmstart=_jnp(mjd.qacc_warmstart, dtype),
       qacc=_jnp(mjd.qacc, dtype),
+      history=_jnp(mjd.history, dtype) if m.nhistory else d.history,
   )
   if nworld is not None:
     d = jax.tree.map(lambda x: jnp.broadcast_to(x, (nworld,) + x.shape), d)

@@ -18,8 +18,9 @@ import numpy as np
 
 from mujoco_warp_tpu import types
 from mujoco_warp_tpu.ops import actuation as act_ops
-from mujoco_warp_tpu.ops import collision_driver, constraint, math, passive
-from mujoco_warp_tpu.ops import sensor, smooth, solver, support
+from mujoco_warp_tpu.ops import collision_driver, constraint, history
+from mujoco_warp_tpu.ops import math, passive, sensor, smooth, solver
+from mujoco_warp_tpu.ops import support
 
 _DT = types.DynType
 _GT = types.GainType
@@ -47,6 +48,7 @@ def fwd_position(m: types.Model, d: types.Data,
   """Position-dependent computations (reference: forward.py:636)."""
   d = smooth.kinematics(m, d)
   d = smooth.com_pos(m, d)
+  d = smooth.camlight(m, d)
   d = smooth.tendon(m, d)
   d = smooth.crb(m, d)
   # cvel/cdof_dot feed the equality-constraint Jacobian-dot terms, so they
@@ -116,7 +118,7 @@ def fwd_actuation(m: types.Model, d: types.Data) -> types.Data:
         actuator_force=jnp.zeros((m.nu,), dtype),
         qfrc_actuator=jnp.zeros((m.nv,), dtype))
 
-  ctrl = d.ctrl
+  ctrl = history.read_ctrl_delayed(m, d)
   if not (m.opt.disableflags & types.DisableBit.CLAMPCTRL):
     lim = jnp.asarray(m.actuator_ctrllimited.astype(bool))
     ctrl = jnp.where(lim,
@@ -272,6 +274,7 @@ def _advance(m: types.Model, d: types.Data, qacc,
   qvel_new = d.qvel + dt * qacc
   qvel_for_pos = qvel_new if qvel is None else qvel
   qpos = _next_position(m, d.qpos, qvel_for_pos, dt)
+  d = history.insert_ctrl_history(m, d)
   return d.replace(
       act=act, qvel=qvel_new, qpos=qpos,
       time=d.time + dt,

@@ -382,7 +382,7 @@ def sensor_acc(m: types.Model, d: types.Data) -> types.Data:
       _ST.TENDONLIMITFRC, _ST.FRAMELINACC, _ST.FRAMEANGACC,
   ])
   if not g:
-    return d
+    return _finish_acc(m, d)
   d = smooth.rne_postconstraint(m, d)
   sd = d.sensordata
 
@@ -437,7 +437,16 @@ def sensor_acc(m: types.Model, d: types.Data) -> types.Data:
         match = jnp.asarray((b1 == b) | (b2 == b)) & active
         vals.append(jnp.sum(jnp.where(match, fn, 0.0)))
       sd = _write(sd, adr, 1, jnp.stack(vals))
-  return d.replace(sensordata=_apply_cutoff(m, sd, stage='acc'))
+  d = d.replace(sensordata=_apply_cutoff(m, sd, stage='acc'))
+  return _finish_acc(m, d)
+
+
+def _finish_acc(m: types.Model, d: types.Data) -> types.Data:
+  """Post-sensor-stage delay application (runs even with no acc sensors)."""
+  if m.nhistory:
+    from mujoco_warp_tpu.ops import history as history_ops
+    d = history_ops.apply_sensor_delay(m, d)
+  return d
 
 
 def _apply_cutoff(m: types.Model, sd, stage):

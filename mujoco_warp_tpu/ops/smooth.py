@@ -183,6 +183,82 @@ def com_pos(m: types.Model, d: types.Data) -> types.Data:
   return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
 
 
+def camlight(m: types.Model, d: types.Data) -> types.Data:
+  """Camera and light frames (reference: smooth.py:985 `camlight`).
+
+  Modes (mjtCamLight): FIXED=0 (body-attached), TRACK=1 (fixed world
+  orientation, offset from body pos), TRACKCOM=2 (offset from subtree com),
+  TARGETBODY=3 / TARGETBODYCOM=4 (aim at a body).
+  """
+  if not m.ncam and not m.nlight:
+    return d
+  dtype = d.qpos.dtype
+
+  def frames(mode, bodyid, targetid, pos, quat_or_dir, poscom0, pos0,
+             is_cam):
+    b = bodyid
+    xpos = d.xpos[b] + math.rot_vec_quat(pos, d.xquat[b])
+    if is_cam:
+      xmat = math.quat_to_mat(math.mul_quat(d.xquat[b], quat_or_dir))
+    else:
+      xdir = math.rot_vec_quat(quat_or_dir, d.xquat[b])
+
+    track = mode == 1
+    trackcom = mode == 2
+    if np.any(track | trackcom):
+      tp = d.xpos[b] + pos0
+      tc = d.subtree_com[b] + poscom0
+      sel = jnp.asarray(track)[:, None]
+      selc = jnp.asarray(trackcom)[:, None]
+      xpos = jnp.where(sel, tp, jnp.where(selc, tc, xpos))
+      if is_cam:
+        xmat = jnp.where(jnp.asarray(track | trackcom)[:, None, None],
+                         m.cam_mat0, xmat)
+      else:
+        xdir = jnp.where(jnp.asarray(track | trackcom)[:, None],
+                         m.light_dir0, xdir)
+
+    target = (mode == 3) | (mode == 4)
+    if np.any(target):
+      tid = np.maximum(targetid, 0)
+      tpos = jnp.where(jnp.asarray(mode == 4)[:, None],
+                       d.subtree_com[tid], d.xpos[tid])
+      if is_cam:
+        # aim -z at target, z = normalize(xpos - target)
+        z = xpos - tpos
+        z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True),
+                            1e-12)
+        up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dtype),
+                              z.shape)
+        x = jnp.cross(up, z)
+        xn = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        x = jnp.where(xn > 1e-9, x / jnp.maximum(xn, 1e-12),
+                      jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0],
+                                                   dtype), z.shape))
+        y = jnp.cross(z, x)
+        tmat = jnp.stack([x, y, z], axis=-1)
+        xmat = jnp.where(jnp.asarray(target)[:, None, None], tmat, xmat)
+      else:
+        dirv = tpos - xpos
+        dirv = dirv / jnp.maximum(
+            jnp.linalg.norm(dirv, axis=-1, keepdims=True), 1e-12)
+        xdir = jnp.where(jnp.asarray(target)[:, None], dirv, xdir)
+    return (xpos, xmat) if is_cam else (xpos, xdir)
+
+  out = {}
+  if m.ncam:
+    cp, cmat = frames(m.cam_mode, m.cam_bodyid, m.cam_targetbodyid,
+                      m.cam_pos, m.cam_quat, m.cam_poscom0, m.cam_pos0,
+                      True)
+    out.update(cam_xpos=cp, cam_xmat=cmat)
+  if m.nlight:
+    lp, ld = frames(m.light_mode, m.light_bodyid, m.light_targetbodyid,
+                    m.light_pos, m.light_dir, m.light_poscom0,
+                    m.light_pos0, False)
+    out.update(light_xpos=lp, light_xdir=ld)
+  return d.replace(**out)
+
+
 def crb(m: types.Model, d: types.Data) -> types.Data:
   """Composite rigid body inertia → dense mass matrix (smooth.py:1080).
 

@@ -424,6 +424,7 @@ class Model:
   nwrap: int = field(static=True, default=0)
   nsensor: int = field(static=True, default=0)
   nsensordata: int = field(static=True, default=0)
+  nhistory: int = field(static=True, default=0)
   # constraint-row layout (static): counts of equality/friction/limit rows
   ne: int = field(static=True, default=0)
   nf: int = field(static=True, default=0)
@@ -515,6 +516,29 @@ class Model:
   site_pos: Array = None  # (nsite, 3)
   site_quat: Array = None  # (nsite, 4)
 
+  # ---------------------------------------------------------- camera / light
+  cam_mode: np.ndarray = field(static=True, default=None)
+  cam_bodyid: np.ndarray = field(static=True, default=None)
+  cam_targetbodyid: np.ndarray = field(static=True, default=None)
+  cam_pos: Array = None  # (ncam, 3)
+  cam_quat: Array = None  # (ncam, 4)
+  cam_poscom0: Array = None  # (ncam, 3)
+  cam_pos0: Array = None  # (ncam, 3)
+  cam_mat0: Array = None  # (ncam, 3, 3)
+  cam_fovy: Array = None  # (ncam,)
+  cam_intrinsic: Array = None  # (ncam, 4)
+  cam_sensorsize: Array = None  # (ncam, 2)
+  cam_resolution: np.ndarray = field(static=True, default=None)
+  light_mode: np.ndarray = field(static=True, default=None)
+  light_bodyid: np.ndarray = field(static=True, default=None)
+  light_targetbodyid: np.ndarray = field(static=True, default=None)
+  light_directional: np.ndarray = field(static=True, default=None)
+  light_pos: Array = None  # (nlight, 3)
+  light_dir: Array = None  # (nlight, 3)
+  light_poscom0: Array = None  # (nlight, 3)
+  light_pos0: Array = None  # (nlight, 3)
+  light_dir0: Array = None  # (nlight, 3)
+
   # ------------------------------------------------------------------ equality
   eq_type: np.ndarray = field(static=True, default=None)
   eq_obj1id: np.ndarray = field(static=True, default=None)
@@ -583,6 +607,14 @@ class Model:
   sensor_dim: np.ndarray = field(static=True, default=None)
   sensor_adr: np.ndarray = field(static=True, default=None)
   sensor_cutoff: Array = None  # (nsensor,)
+  # history (delay) metadata — static: (nsample, interp) per channel
+  actuator_history: np.ndarray = field(static=True, default=None)
+  actuator_historyadr: np.ndarray = field(static=True, default=None)
+  actuator_delay: np.ndarray = field(static=True, default=None)
+  sensor_history: np.ndarray = field(static=True, default=None)
+  sensor_historyadr: np.ndarray = field(static=True, default=None)
+  sensor_delay: np.ndarray = field(static=True, default=None)
+  sensor_interval: np.ndarray = field(static=True, default=None)
 
   # ------------------------------------------------------- collision tables
   # static candidate geom pairs after contype/conaffinity + parent filtering
@@ -641,6 +673,10 @@ class Data:
   geom_xmat: Array = None  # (ngeom, 3, 3)
   site_xpos: Array = None  # (nsite, 3)
   site_xmat: Array = None  # (nsite, 3, 3)
+  cam_xpos: Array = None  # (ncam, 3)
+  cam_xmat: Array = None  # (ncam, 3, 3)
+  light_xpos: Array = None  # (nlight, 3)
+  light_xdir: Array = None  # (nlight, 3)
   subtree_com: Array = None  # (nbody, 3)
   cinert: Array = None  # (nbody, 6, 6) spatial inertia in com-rooted frame
   cdof: Array = None  # (nv, 6)
@@ -697,6 +733,9 @@ class Data:
   cacc: Array = None  # (nbody, 6) com-frame acceleration
   cfrc_int: Array = None  # (nbody, 6) force from parent
   cfrc_ext: Array = None  # (nbody, 6) external wrenches
+
+  # ---------------------------------------------------------------- history
+  history: Array = None  # (nhistory,) circular delay buffers
 
   # ------------------------------------------------------------ diagnostics
   solver_niter: Array = None  # () int32

@@ -53,3 +53,12 @@ def test_cg_solver():
   run = jax.jit(lambda d: fwd.forward(m, d))
   out = jax.block_until_ready(run(d))
   assert_close(out.qacc, mjd.qacc, 'cg qacc', atol=5e-2, rtol=5e-2)
+
+
+def test_elliptic_cone():
+  """Elliptic-cone Newton solve matches mj_forward (jnp fallback path)."""
+  mjm, mjd, m, d = models.fixture(
+      'spheres.xml', qvel_noise=0.3, nstep=25, overrides=('opt.cone=1',))
+  run = jax.jit(lambda d: fwd.forward(m, d))
+  out = jax.block_until_ready(run(d))
+  assert_close(out.qacc, mjd.qacc, 'elliptic qacc', atol=5e-2, rtol=5e-2)

@@ -98,3 +98,42 @@ def test_com_vel(pendula):
 def test_rne(pendula):
   mjm, mjd, m, d = pendula
   assert_close(d.qfrc_bias, mjd.qfrc_bias, 'qfrc_bias')
+
+
+def test_camlight():
+  """Camera/light frames vs mj_forward (reference: smooth.py:985)."""
+  import tempfile, os
+  xml = """
+<mujoco>
+  <worldbody>
+    <light pos="0 0 3" dir="0 0 -1" mode="targetbody" target="b2"/>
+    <body name="b1" pos="0 0 1">
+      <joint type="hinge" axis="0 1 0"/>
+      <geom type="capsule" size="0.04" fromto="0 0 0 0.4 0 0" contype="0" conaffinity="0"/>
+      <camera name="c_fixed" pos="0.1 0.2 0.3" euler="20 30 10"/>
+      <camera name="c_track" pos="0.5 0 0.5" mode="track"/>
+      <camera name="c_trackcom" pos="0.5 0 0.8" mode="trackcom"/>
+      <light pos="0.1 0 0.5" dir="0 0 -1"/>
+      <body name="b2" pos="0.4 0 0">
+        <joint type="ball"/>
+        <geom type="sphere" size="0.05" contype="0" conaffinity="0"/>
+        <camera name="c_target" pos="1 1 1" mode="targetbody" target="b1"/>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>"""
+  with tempfile.NamedTemporaryFile('w', suffix='.xml', delete=False) as f:
+    f.write(xml)
+    path = f.name
+  mjm, mjd, m, d = models.fixture(path, qpos_noise=0.3, qvel_noise=0.2,
+                                  nstep=3)
+  os.unlink(path)
+  from mujoco_warp_tpu.ops import smooth as sm
+  run = jax.jit(lambda d: sm.camlight(m, sm.com_pos(m, sm.kinematics(m, d))))
+  d = jax.block_until_ready(run(d))
+  assert_close(d.cam_xpos, mjd.cam_xpos, 'cam_xpos')
+  assert_close(d.cam_xmat, mjd.cam_xmat.reshape(-1, 3, 3), 'cam_xmat',
+               atol=1e-3, rtol=1e-3)
+  assert_close(d.light_xpos, mjd.light_xpos, 'light_xpos')
+  assert_close(d.light_xdir, mjd.light_xdir, 'light_xdir', atol=1e-3,
+               rtol=1e-3)
