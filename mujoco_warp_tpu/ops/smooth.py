@@ -438,28 +438,243 @@ def _contact_forces(m: types.Model, d: types.Data) -> jax.Array:
   return out
 
 
-def tendon(m: types.Model, d: types.Data) -> types.Data:
-  """Fixed tendon lengths and Jacobians (reference: smooth.py:4194).
+_BIGW = 1e10
 
-  Only fixed (joint-sum) tendons for now; spatial wrapping comes with the
-  wrap-geometry phase.
+
+def _wrap_2d_circle(end, side, radius, dtype):
+  """2D circle wrap (reference: util_misc.py:105 `wrap_circle`).
+
+  end: (4,) two 2D points; side: (2,) or None.  Returns
+  (wlen, pnt0 (2,), pnt1 (2,)) with wlen < 0 for no wrap.
+  """
+  end0 = end[0:2]
+  end1 = end[2:4]
+  sqlen0 = jnp.dot(end0, end0)
+  sqlen1 = jnp.dot(end1, end1)
+  sqrad = radius * radius
+  no_wrap = (sqlen0 < sqrad) | (sqlen1 < sqrad) | (radius < 1e-15)
+
+  dif = end1 - end0
+  dd = jnp.dot(dif, dif)
+  no_wrap |= dd < 1e-15
+  a = jnp.clip(-jnp.dot(dif, end0) / jnp.maximum(dd, 1e-15), 0.0, 1.0)
+  tmp = a * dif + end0
+  if side is None:
+    no_wrap |= jnp.dot(tmp, tmp) > sqrad
+  else:
+    no_wrap |= (jnp.dot(tmp, tmp) > sqrad) & (jnp.dot(side, tmp) >= 0.0)
+
+  sqrt0 = jnp.sqrt(jnp.maximum(sqlen0 - sqrad, 0.0))
+  sqrt1 = jnp.sqrt(jnp.maximum(sqlen1 - sqrad, 0.0))
+  sl0 = jnp.maximum(sqlen0, 1e-15)
+  sl1 = jnp.maximum(sqlen1, 1e-15)
+  sol00 = jnp.stack([(end[0] * sqrad + radius * end[1] * sqrt0) / sl0,
+                     (end[1] * sqrad - radius * end[0] * sqrt0) / sl0])
+  sol01 = jnp.stack([(end[2] * sqrad - radius * end[3] * sqrt1) / sl1,
+                     (end[3] * sqrad + radius * end[2] * sqrt1) / sl1])
+  sol10 = jnp.stack([(end[0] * sqrad - radius * end[1] * sqrt0) / sl0,
+                     (end[1] * sqrad + radius * end[0] * sqrt0) / sl0])
+  sol11 = jnp.stack([(end[2] * sqrad + radius * end[3] * sqrt1) / sl1,
+                     (end[3] * sqrad - radius * end[2] * sqrt1) / sl1])
+
+  def seg_intersect(p1, p2, p3, p4):
+    d1 = (p4[0] - p3[0]) * (p1[1] - p3[1]) - (p4[1] - p3[1]) * (p1[0] - p3[0])
+    d2 = (p4[0] - p3[0]) * (p2[1] - p3[1]) - (p4[1] - p3[1]) * (p2[0] - p3[0])
+    d3 = (p2[0] - p1[0]) * (p3[1] - p1[1]) - (p2[1] - p1[1]) * (p3[0] - p1[0])
+    d4 = (p2[0] - p1[0]) * (p4[1] - p1[1]) - (p2[1] - p1[1]) * (p4[0] - p1[0])
+    return (d1 * d2 < 0) & (d3 * d4 < 0)
+
+  if side is None:
+    t0 = sol00 - sol01
+    good0 = -jnp.dot(t0, t0)
+    t1 = sol10 - sol11
+    good1 = -jnp.dot(t1, t1)
+  else:
+    t0 = sol00 + sol01
+    t0 = t0 / jnp.maximum(jnp.linalg.norm(t0), 1e-15)
+    good0 = jnp.dot(t0, side)
+    t1 = sol10 + sol11
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-15)
+    good1 = jnp.dot(t1, side)
+  good0 = jnp.where(seg_intersect(end0, sol00, end1, sol01), -1e4, good0)
+  good1 = jnp.where(seg_intersect(end0, sol10, end1, sol11), -1e4, good1)
+
+  use0 = good0 > good1
+  pnt0 = jnp.where(use0, sol00, sol10)
+  pnt1 = jnp.where(use0, sol01, sol11)
+  no_wrap |= seg_intersect(end0, pnt0, end1, pnt1)
+
+  # arc length (reference: util_misc.py:78 `length_circle`)
+  p0n = pnt0 / jnp.maximum(jnp.linalg.norm(pnt0), 1e-15)
+  p1n = pnt1 / jnp.maximum(jnp.linalg.norm(pnt1), 1e-15)
+  angle = jnp.arccos(jnp.clip(jnp.dot(p0n, p1n), -1.0, 1.0))
+  cross = pnt0[1] * pnt1[0] - pnt0[0] * pnt1[1]
+  flip = jnp.where(use0, cross < 0.0, cross > 0.0)
+  angle = jnp.where(flip, 2.0 * jnp.pi - angle, angle)
+  wlen = radius * angle
+  return jnp.where(no_wrap, -1.0, wlen), pnt0, pnt1
+
+
+def _wrap_geom(x0, x1, pos, mat, radius, is_sphere, side, dtype):
+  """3D tendon wrap around a sphere/cylinder (util_misc.py:326 `wrap`).
+
+  Returns (wlen, wpnt0, wpnt1); wlen < 0 means no wrap (straight segment).
+  """
+  matT = mat.T
+  p0 = matT @ (x0 - pos)
+  p1 = matT @ (x1 - pos)
+
+  if is_sphere:
+    axis0 = p0 / jnp.maximum(jnp.linalg.norm(p0), 1e-15)
+    normal = jnp.cross(p0, p1)
+    nrm = jnp.linalg.norm(normal)
+    # degenerate (parallel): pick axis orthogonal to largest component
+    k = jnp.argmax(jnp.abs(axis0))
+    alt1 = jnp.ones((3,), dtype).at[k].set(0.0)
+    altn = jnp.cross(axis0, alt1)
+    altn = altn / jnp.maximum(jnp.linalg.norm(altn), 1e-15)
+    normal = jnp.where(nrm < 1e-15, altn,
+                       normal / jnp.maximum(nrm, 1e-15))
+    axis1 = jnp.cross(normal, axis0)
+    axis1 = axis1 / jnp.maximum(jnp.linalg.norm(axis1), 1e-15)
+  else:
+    axis0 = jnp.asarray([1.0, 0.0, 0.0], dtype)
+    axis1 = jnp.asarray([0.0, 1.0, 0.0], dtype)
+
+  end = jnp.stack([jnp.dot(p0, axis0), jnp.dot(p0, axis1),
+                   jnp.dot(p1, axis0), jnp.dot(p1, axis1)])
+  if side is not None:
+    sidep = matT @ (side - pos)
+    sp = jnp.stack([jnp.dot(sidep, axis0), jnp.dot(sidep, axis1)])
+    sp = sp / jnp.maximum(jnp.linalg.norm(sp), 1e-15) * radius
+    wlen, pnt0, pnt1 = _wrap_2d_circle(end, sp, radius, dtype)
+  else:
+    wlen, pnt0, pnt1 = _wrap_2d_circle(end, None, radius, dtype)
+
+  res0 = axis0 * pnt0[0] + axis1 * pnt0[1]
+  res1 = axis0 * pnt1[0] + axis1 * pnt1[1]
+  if not is_sphere:
+    L0 = jnp.sqrt((p0[0] - res0[0]) ** 2 + (p0[1] - res0[1]) ** 2)
+    L1 = jnp.sqrt((p1[0] - res1[0]) ** 2 + (p1[1] - res1[1]) ** 2)
+    denom = jnp.maximum(L0 + wlen + L1, 1e-15)
+    z0 = p0[2] + (p1[2] - p0[2]) * L0 / denom
+    z1 = p0[2] + (p1[2] - p0[2]) * (L0 + wlen) / denom
+    res0 = res0.at[2].set(z0)
+    res1 = res1.at[2].set(z1)
+    height = jnp.abs(z1 - z0)
+    wlen = jnp.where(wlen >= 0,
+                     jnp.sqrt(jnp.maximum(wlen * wlen + height * height,
+                                          0.0)), wlen)
+  wpnt0 = mat @ res0 + pos
+  wpnt1 = mat @ res1 + pos
+  return wlen, wpnt0, wpnt1
+
+
+def _point_jacp(m, d, point, bodyid: int):
+  """(nv, 3) translational Jacobian of a world point on a static body."""
+  dtype = point.dtype
+  mask = jnp.asarray(m.tree.body_dof_mask[bodyid], dtype)  # (nv,)
+  offset = point - d.subtree_com[m.body_rootid[bodyid]]
+  ang = d.cdof[:, :3]
+  lin = d.cdof[:, 3:]
+  return (lin + jnp.cross(ang, jnp.broadcast_to(offset, ang.shape))) * \
+      mask[:, None]
+
+
+def tendon(m: types.Model, d: types.Data) -> types.Data:
+  """Tendon lengths and Jacobians (reference: smooth.py:4194 `tendon`).
+
+  Fixed (joint-sum) tendons and spatial tendons with site paths, pulleys
+  and sphere/cylinder wrap geoms (with optional sidesites).
   """
   if not m.ntendon:
     return d
   dtype = d.qpos.dtype
+  _WT = types.WrapType
   ten_J = jnp.zeros((m.ntendon, m.nv), dtype)
   ten_length = jnp.zeros((m.ntendon,), dtype)
+
   for t in range(m.ntendon):
     adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
     wtypes = m.wrap_type[adr:adr + num]
-    if not np.all(wtypes == types.WrapType.JOINT):
-      continue  # spatial tendon: handled elsewhere
-    jids = m.wrap_objid[adr:adr + num]
-    coef = m.wrap_prm[adr:adr + num]
-    qadr = m.jnt_qposadr[jids]
-    dadr = m.jnt_dofadr[jids]
-    ten_length = ten_length.at[t].set(jnp.sum(coef * d.qpos[qadr]))
-    ten_J = ten_J.at[t, dadr].set(coef)
+
+    if np.all(wtypes == _WT.JOINT):  # fixed tendon
+      jids = m.wrap_objid[adr:adr + num]
+      coef = m.wrap_prm[adr:adr + num]
+      qadr = m.jnt_qposadr[jids]
+      dadr = m.jnt_dofadr[jids]
+      ten_length = ten_length.at[t].set(jnp.sum(coef * d.qpos[qadr]))
+      ten_J = ten_J.at[t, dadr].set(coef)
+      continue
+
+    # spatial tendon: walk the wrap list (static structure)
+    length = jnp.zeros((), dtype)
+    J = jnp.zeros((m.nv,), dtype)
+    divisor = 1.0
+    # points along the path: list of (pos (3,), bodyid, is_site)
+    chain = []  # current branch's points
+
+    def flush(chain, length, J, divisor):
+      for (pa, ba), (pb, bb) in zip(chain[:-1], chain[1:]):
+        seg = pb - pa
+        ln = jnp.linalg.norm(seg)
+        dirn = seg / jnp.maximum(ln, 1e-15)
+        length = length + ln / divisor
+        dJ = (_point_jacp(m, d, pb, bb) - _point_jacp(m, d, pa, ba))
+        J = J + (dJ @ dirn) / divisor
+      return length, J
+
+    i = adr
+    while i < adr + num:
+      wt = int(m.wrap_type[i])
+      oid = int(m.wrap_objid[i])
+      if wt == _WT.SITE:
+        chain.append((d.site_xpos[oid], int(m.site_bodyid[oid])))
+        i += 1
+      elif wt == _WT.PULLEY:
+        length, J = flush(chain, length, J, divisor)
+        chain = []
+        divisor = float(np.asarray(jax.device_get(m.wrap_prm))[i])
+        i += 1
+      elif wt in (int(_WT.SPHERE), int(_WT.CYLINDER)):
+        # wrap geom between previous and next site
+        assert chain, 'wrap geom requires a preceding site'
+        nxt = int(m.wrap_objid[i + 1])
+        x0, b0 = chain[-1]
+        x1 = d.site_xpos[nxt]
+        b1 = int(m.site_bodyid[nxt])
+        gb = int(m.geom_bodyid[oid])
+        sideid = int(np.asarray(jax.device_get(m.wrap_prm))[i])
+        side = d.site_xpos[sideid] if sideid >= 0 else None
+        wlen, w0, w1 = _wrap_geom(
+            x0, x1, d.geom_xpos[oid], d.geom_xmat[oid],
+            float(jax.device_get(m.geom_size)[oid, 0]),
+            wt == _WT.SPHERE, side, dtype)
+        wrapped = wlen >= 0
+        # with wrap: segments x0→w0, arc, w1→x1; without: straight x0→x1
+        def seg(pa, pb, ba, bb):
+          s = pb - pa
+          ln = jnp.linalg.norm(s)
+          dirn = s / jnp.maximum(ln, 1e-15)
+          dJ = (_point_jacp(m, d, pb, bb) - _point_jacp(m, d, pa, ba))
+          return ln, dJ @ dirn
+
+        l_a, J_a = seg(x0, w0, b0, gb)
+        l_b, J_b = seg(w1, x1, gb, b1)
+        l_s, J_s = seg(x0, x1, b0, b1)
+        length = length + jnp.where(
+            wrapped, (l_a + jnp.maximum(wlen, 0.0) + l_b) / divisor,
+            l_s / divisor)
+        J = J + jnp.where(wrapped, (J_a + J_b) / divisor, J_s / divisor)
+        # continue the chain from the next site (it is consumed here)
+        chain = [(x1, b1)]
+        i += 2
+      else:
+        raise NotImplementedError(f'wrap type {wt}')
+    length, J = flush(chain, length, J, divisor)
+    ten_length = ten_length.at[t].set(length)
+    ten_J = ten_J.at[t].set(J)
+
   return d.replace(ten_length=ten_length, ten_J=ten_J)
 
 
