@@ -1,0 +1,51 @@
+"""Run the benchmark suite (reference: benchmarks/run.py + sweep.py).
+
+  python benchmarks/run.py [--benchmark NAME ...] [--nworld N]
+      [--nstep N] [--output results.jsonl]
+
+Emits one JSON line per scene (the reference's nightly JSONL schema).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+  p = argparse.ArgumentParser()
+  p.add_argument('--benchmark', action='append', default=None)
+  p.add_argument('--nworld', type=int, default=None)
+  p.add_argument('--nstep', type=int, default=None)
+  p.add_argument('--output', default=None)
+  args = p.parse_args(argv)
+
+  import mujoco
+
+  from benchmarks import BENCHMARKS
+  from mujoco_warp_tpu import benchmarks as harness, io
+
+  names = args.benchmark or list(BENCHMARKS)
+  out_f = open(args.output, 'a') if args.output else None
+  for name in names:
+    path, nworld, nstep, overrides = BENCHMARKS[name]
+    nworld = args.nworld or nworld
+    nstep = args.nstep or nstep
+    mjm = mujoco.MjModel.from_xml_path(path)
+    try:
+      metrics = harness.run(mjm, nworld=nworld, nstep=nstep)
+    except Exception as e:  # record failures, keep sweeping
+      metrics = {'error': f'{type(e).__name__}: {e}'}
+    rec = {'benchmark': name, **metrics}
+    line = json.dumps(rec)
+    print(line, flush=True)
+    if out_f:
+      out_f.write(line + '\n')
+      out_f.flush()
+  if out_f:
+    out_f.close()
+
+
+if __name__ == '__main__':
+  main()

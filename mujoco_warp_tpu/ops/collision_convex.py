@@ -1,0 +1,264 @@
+"""Generic convex-convex narrowphase via MPR (XenoCollide).
+
+TPU-native counterpart of reference mujoco_warp/_src/collision_convex.py +
+collision_gjk.py (GJK:634 / EPA:2408 behind `ccd`:2516).  Divergence by
+design: the reference runs GJK+EPA with data-dependent loop depths and
+per-pair-type code-generated kernels; here penetration depth/normal come
+from Minkowski Portal Refinement with **fixed iteration counts and masked
+updates** — the natural fixed-shape formulation for XLA (no dynamic
+shapes, no early exits), vectorized over the candidate-pair batch.
+
+Supports all smooth convex primitives (sphere, capsule, ellipsoid,
+cylinder, box) through their support functions; margins are handled by
+support-inflating both shapes by margin/2.  Mesh support functions land
+with the mesh phase.  Single contact point per pair (the reference's
+multi-contact polygon clipping is tracked for a later round).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mujoco_warp_tpu import types
+
+_GT = types.GeomType
+_BIG = 1e10
+_EPS = 1e-12
+
+_DISCOVER_ITERS = 16
+_REFINE_ITERS = 30
+
+CONVEX_TYPES = (int(_GT.SPHERE), int(_GT.CAPSULE), int(_GT.ELLIPSOID),
+                int(_GT.CYLINDER), int(_GT.BOX))
+
+
+def _support_local(gtype: int, size, d):
+  """Support point of a geom type in its local frame; d need not be unit.
+
+  size (n, 3); d (n, 3) → (n, 3).
+  """
+  dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), _EPS)
+  if gtype == _GT.SPHERE:
+    return size[:, 0:1] * dn
+  if gtype == _GT.CAPSULE:
+    return size[:, 0:1] * dn + jnp.concatenate(
+        [jnp.zeros_like(dn[:, :2]),
+         size[:, 1:2] * jnp.sign(dn[:, 2:3])], axis=-1)
+  if gtype == _GT.ELLIPSOID:
+    v = size * size * dn
+    nrm = jnp.sqrt(jnp.maximum(jnp.sum(dn * size * dn * size, -1), _EPS))
+    return v / nrm[:, None]
+  if gtype == _GT.CYLINDER:
+    xy = dn[:, :2]
+    xyn = jnp.linalg.norm(xy, axis=-1, keepdims=True)
+    radial = jnp.where(xyn > 1e-9, xy / jnp.maximum(xyn, _EPS), 0.0)
+    return jnp.concatenate(
+        [size[:, 0:1] * radial,
+         size[:, 1:2] * jnp.sign(dn[:, 2:3])], axis=-1)
+  if gtype == _GT.BOX:
+    s = jnp.sign(dn)
+    s = jnp.where(s == 0, 1.0, s)
+    return size * s
+  raise NotImplementedError(f'support for geom type {gtype}')
+
+
+def _make_support(t1: int, t2: int):
+  """CSO support S(d) = supA(d) − supB(−d) with witness points."""
+
+  def support(d, pos1, mat1, size1, pos2, mat2, size2, inflate):
+    # world → local directions
+    d1 = jnp.einsum('nij,ni->nj', mat1, d)
+    d2 = jnp.einsum('nij,ni->nj', mat2, -d)
+    a_l = _support_local(t1, size1, d1)
+    b_l = _support_local(t2, size2, d2)
+    dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), _EPS)
+    a = pos1 + jnp.einsum('nij,nj->ni', mat1, a_l) + inflate * dn
+    b = pos2 + jnp.einsum('nij,nj->ni', mat2, b_l) - inflate * dn
+    return a - b, a, b
+
+  return support
+
+
+def mpr(t1: int, t2: int, pos1, mat1, size1, pos2, mat2, size2,
+        inflate):
+  """Batched MPR (XenoCollide): returns (hit, depth, normal, point).
+
+  CSO is A−B; origin inside ⇔ collision.  The outward portal normal is
+  the direction B must move to separate, which is MuJoCo's contact
+  normal (geom1 → geom2).  Fixed iteration counts with masked updates.
+  """
+  nb = pos1.shape[0]
+  dtype = pos1.dtype
+  S = _make_support(t1, t2)
+  sup = lambda d: S(d, pos1, mat1, size1, pos2, mat2, size2, inflate)
+
+  def dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+  # v0: interior point of the CSO (difference of centers).  The relative
+  # anisotropic nudge breaks exact symmetries (a ray exactly through a
+  # portal edge zeroes the triple-product tests and stalls refinement);
+  # 1e-4 relative keeps the normal error ~1e-4, inside contact tolerance.
+  v0 = pos1 - pos2
+  scale = jnp.linalg.norm(v0, axis=-1, keepdims=True)
+  v0 = v0 + jnp.asarray([0.7e-4, 1.3e-4, 1.9e-4], dtype) * \
+      jnp.maximum(scale, 1e-3)
+  v0 = jnp.where(scale < 1e-9,
+                 v0 + jnp.asarray([1e-5, 2e-5, 3e-5], dtype), v0)
+
+  miss = jnp.zeros((nb,), bool)
+
+  # phase 1a: v1 along the origin ray
+  v1, a1, b1 = sup(-v0)
+  miss |= dot(v1, -v0) <= 0.0
+
+  # phase 1b: v2 perpendicular to (v0, v1)
+  d2_ = jnp.cross(v1, v0)
+  deg = jnp.linalg.norm(d2_, axis=-1, keepdims=True) < 1e-10
+  # v1 ∥ v0: any direction orthogonal to v0 works
+  alt = jnp.cross(v0, jnp.asarray([0.0, 1.0, 0.0], dtype)[None])
+  alt2 = jnp.cross(v0, jnp.asarray([0.0, 0.0, 1.0], dtype)[None])
+  alt = jnp.where(jnp.linalg.norm(alt, axis=-1, keepdims=True) < 1e-10,
+                  alt2, alt)
+  d2_ = jnp.where(deg, alt, d2_)
+  v2, a2, b2 = sup(d2_)
+  miss |= dot(v2, d2_) <= 0.0
+
+  # phase 1c/1d: find a portal triangle the origin ray passes through
+  d3_ = jnp.cross(v1 - v0, v2 - v0)
+  flip = (dot(d3_, v0) > 0.0)
+  # swap v1, v2 so that d3 points away from the origin side
+  v1s = jnp.where(flip[:, None], v2, v1)
+  a1s = jnp.where(flip[:, None], a2, a1)
+  b1s = jnp.where(flip[:, None], b2, b1)
+  v2s = jnp.where(flip[:, None], v1, v2)
+  a2s = jnp.where(flip[:, None], a1, a2)
+  b2s = jnp.where(flip[:, None], b1, b2)
+  v1, a1, b1, v2, a2, b2 = v1s, a1s, b1s, v2s, a2s, b2s
+  d3_ = jnp.where(flip[:, None], -d3_, d3_)
+
+  def discover(i, carry):
+    v1, a1, b1, v2, a2, b2, d3_, v3, a3, b3, found, miss = carry
+    v3n, a3n, b3n = sup(d3_)
+    miss_n = dot(v3n, d3_) <= 0.0
+    # origin outside plane (v0, v1, v3): rotate v2 ← v3
+    out1 = dot(jnp.cross(v1, v3n), v0) < 0.0
+    # origin outside plane (v0, v3, v2): rotate v1 ← v3
+    out2 = dot(jnp.cross(v3n, v2), v0) < 0.0
+    done_here = ~out1 & ~out2
+
+    upd = (~found)[:, None]
+    m1 = upd & (out1 & ~done_here)[:, None]
+    v2n = jnp.where(m1, v3n, v2)
+    a2n = jnp.where(m1, a3n, a2)
+    b2n = jnp.where(m1, b3n, b2)
+    m2 = upd & (out2 & ~out1)[:, None]
+    v1n = jnp.where(m2, v3n, v1)
+    a1n = jnp.where(m2, a3n, a1)
+    b1n = jnp.where(m2, b3n, b1)
+    d3n = jnp.cross(v1n - v0, v2n - v0)
+    v3o = jnp.where(upd & done_here[:, None], v3n, v3)
+    a3o = jnp.where(upd & done_here[:, None], a3n, a3)
+    b3o = jnp.where(upd & done_here[:, None], b3n, b3)
+    found_n = found | done_here
+    miss = miss | (miss_n & ~found)
+    return (v1n, a1n, b1n, v2n, a2n, b2n,
+            jnp.where(upd, d3n, d3_), v3o, a3o, b3o, found_n, miss)
+
+  zero3 = jnp.zeros_like(v1)
+  carry = (v1, a1, b1, v2, a2, b2, d3_, zero3, zero3, zero3,
+           jnp.zeros((nb,), bool), miss)
+  carry = jax.lax.fori_loop(0, _DISCOVER_ITERS, discover, carry)
+  v1, a1, b1, v2, a2, b2, _, v3, a3, b3, found, miss = carry
+  miss |= ~found
+
+  # phase 2: refine the portal toward the CSO surface
+  def refine(i, carry):
+    v1, a1, b1, v2, a2, b2, v3, a3, b3, hit, done = carry
+    nrm = jnp.cross(v2 - v1, v3 - v1)
+    nrm = nrm / jnp.maximum(
+        jnp.linalg.norm(nrm, axis=-1, keepdims=True), _EPS)
+    sgn = jnp.sign(dot(nrm, v1 - v0))[:, None]
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
+    nrm = nrm * sgn
+    hit = hit | (dot(nrm, v1) >= -1e-8)
+    v4, a4, b4 = sup(nrm)
+    progress = dot(nrm, v4 - v1) > 1e-7
+    done = done | ~progress
+
+    # portal split (libccd expandPortal): w = v4 × v0;
+    # v1·w>0 ? (v2·w>0 ? v1=v4 : v3=v4) : (v3·w>0 ? v2=v4 : v1=v4)
+    w = jnp.cross(v4, v0)
+    t1_ = dot(v1, w) > 0.0
+    t2_ = dot(v2, w) > 0.0
+    t3_ = dot(v3, w) > 0.0
+    rep1 = t1_ & t2_
+    rep3 = t1_ & ~t2_
+    rep2 = ~t1_ & t3_
+    rep1b = ~t1_ & ~t3_
+    r1 = (rep1 | rep1b)
+    upd = (~done)[:, None]
+    v1n = jnp.where(upd & r1[:, None], v4, v1)
+    a1n = jnp.where(upd & r1[:, None], a4, a1)
+    b1n = jnp.where(upd & r1[:, None], b4, b1)
+    v2n = jnp.where(upd & rep2[:, None], v4, v2)
+    a2n = jnp.where(upd & rep2[:, None], a4, a2)
+    b2n = jnp.where(upd & rep2[:, None], b4, b2)
+    v3n = jnp.where(upd & rep3[:, None], v4, v3)
+    a3n = jnp.where(upd & rep3[:, None], a4, a3)
+    b3n = jnp.where(upd & rep3[:, None], b4, b3)
+    return (v1n, a1n, b1n, v2n, a2n, b2n, v3n, a3n, b3n, hit, done)
+
+  carry = (v1, a1, b1, v2, a2, b2, v3, a3, b3,
+           jnp.zeros((nb,), bool), miss)
+  carry = jax.lax.fori_loop(0, _REFINE_ITERS, refine, carry)
+  v1, a1, b1, v2, a2, b2, v3, a3, b3, hit, _ = carry
+  hit &= ~miss
+
+  # final portal plane: depth and outward normal
+  nrm = jnp.cross(v2 - v1, v3 - v1)
+  nrm = nrm / jnp.maximum(
+      jnp.linalg.norm(nrm, axis=-1, keepdims=True), _EPS)
+  sgn = jnp.sign(dot(nrm, v1 - v0))[:, None]
+  sgn = jnp.where(sgn == 0, 1.0, sgn)
+  nrm = nrm * sgn
+  depth = dot(nrm, v1)
+
+  # witness point: barycentric coords of the origin-ray/portal crossing
+  def tri_weights(p, q, r):
+    n_ = jnp.cross(q - p, r - p)
+    den = jnp.maximum(dot(n_, n_), _EPS)
+    w_p = dot(jnp.cross(q, r), n_) / den
+    w_q = dot(jnp.cross(r, p), n_) / den
+    w_r = dot(jnp.cross(p, q), n_) / den
+    return w_p, w_q, w_r
+
+  w1, w2, w3 = tri_weights(v1, v2, v3)
+  w1 = jnp.clip(w1, 0.0, 1.0)
+  w2 = jnp.clip(w2, 0.0, 1.0)
+  w3 = jnp.clip(w3, 0.0, 1.0)
+  ws = jnp.maximum(w1 + w2 + w3, _EPS)
+  w1, w2, w3 = w1 / ws, w2 / ws, w3 / ws
+  pa = w1[:, None] * a1 + w2[:, None] * a2 + w3[:, None] * a3
+  pb = w1[:, None] * b1 + w2[:, None] * b2 + w3[:, None] * b3
+  point = 0.5 * (pa + pb)
+
+  return hit & (depth >= 0), depth, nrm, point
+
+
+def make_convex_collider(t1: int, t2: int):
+  """Collider fn with the standard (m, d, g1, g2) signature."""
+
+  def collider(m, d, g1, g2):
+    pos1, mat1, size1 = d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1]
+    pos2, mat2, size2 = d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2]
+    margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
+    inflate = (0.5 * margin)[:, None]
+    hit, depth, normal, point = mpr(
+        t1, t2, pos1, mat1, size1, pos2, mat2, size2, inflate)
+    dist = jnp.where(hit, -depth + margin, _BIG)
+    return dist[None], point[None], normal[None]
+
+  return collider

@@ -100,14 +100,18 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
       g1c.append(b)
       g2c.append(a)
 
-  # validate support and group by type pair
+  # validate support and group by type pair; pairs without an analytic
+  # collider fall back to the generic convex (MPR) path
+  from mujoco_warp_tpu.ops import collision_convex
   keys = []
   for a, b in zip(g1c, g2c):
     key = (int(mjm.geom_type[a]), int(mjm.geom_type[b]))
     if key not in collision_primitive.PAIR_NCON:
-      raise NotImplementedError(
-          f'collision pair {(_GT(key[0]).name, _GT(key[1]).name)} '
-          'is not supported yet')
+      if not (key[0] in collision_convex.CONVEX_TYPES and
+              key[1] in collision_convex.CONVEX_TYPES):
+        raise NotImplementedError(
+            f'collision pair {(_GT(key[0]).name, _GT(key[1]).name)} '
+            'is not supported yet')
     keys.append(key)
 
   # condim per pair (priority rules, mj_collideGeoms semantics)
@@ -140,7 +144,7 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
     j = i
     while j < len(keys) and keys[j] == keys[i]:
       j += 1
-    k = collision_primitive.PAIR_NCON[keys[i]]
+    k = collision_primitive.PAIR_NCON.get(keys[i], 1)  # convex MPR: 1
     idx = np.arange(i, j, dtype=np.int32)
     groups.append((keys[i][0], keys[i][1], idx, slot))
     # slot layout per group: contact-point-major (k, npairs) flattened
@@ -240,8 +244,11 @@ def collision(m: types.Model, d: types.Data) -> types.Data:
   dist_slots = []
   pos_slots = []
   frame_slots = []
+  from mujoco_warp_tpu.ops import collision_convex
   for (t1, t2, idx, slot) in m.pair_groups:
-    fn = collision_primitive.COLLIDERS[(t1, t2)]
+    fn = collision_primitive.COLLIDERS.get((t1, t2))
+    if fn is None:
+      fn = collision_convex.make_convex_collider(int(t1), int(t2))
     g1 = m.pair_geom1[idx]
     g2 = m.pair_geom2[idx]
     dist, pos, normal = fn(m, d, g1, g2)  # (k, n), (k, n, 3), (k, n, 3)
