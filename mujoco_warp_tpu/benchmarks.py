@@ -24,6 +24,39 @@ HUMANOID_XML = ('/opt/venv/lib/python3.12/site-packages/dm_control/suite/'
                 'humanoid.xml')
 
 
+def load_humanoid_benchmark():
+  """27-DoF humanoid stripped of sensors/cameras.
+
+  The reference's humanoid benchmark scene has no sensors (benchmarks/
+  humanoid); dm_control's humanoid carries 34 sensors + cameras which are
+  not part of the physics-throughput comparison, so they are removed for
+  the apples-to-apples number.
+  """
+  import os
+  import re
+  import tempfile
+
+  import mujoco
+
+  xml = open(HUMANOID_XML).read()
+  xml = re.sub(r'<sensor>.*?</sensor>', '', xml, flags=re.S)
+  xml = re.sub(r'<camera[^/]*?/>', '', xml)
+  # stage in a temp dir with the common/ includes alongside
+  import shutil
+
+  base = os.path.dirname(HUMANOID_XML)
+  tmp = tempfile.mkdtemp(prefix='mjw_tpu_bench_')
+  try:
+    shutil.copytree(os.path.join(base, 'common'),
+                    os.path.join(tmp, 'common'))
+    path = os.path.join(tmp, 'humanoid.xml')
+    with open(path, 'w') as f:
+      f.write(xml)
+    return mujoco.MjModel.from_xml_path(path)
+  finally:
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def build(mjm, nworld: int, seed: int = 0):
   """Model + randomized batched Data."""
   m = io.put_model(mjm)
@@ -50,19 +83,31 @@ def rollout_fn(m: types.Model, nstep: int):
 
 def run(mjm, nworld: int = 8192, nstep: int = 100, seed: int = 0,
         warmup_steps: int = 10):
-  """Measure steps/s on the default backend. Returns a metrics dict."""
+  """Measure steps/s on the default backend. Returns a metrics dict.
+
+  The rollout is a host loop of async-dispatched jitted steps (the XLA
+  analog of the reference's graph-replay loop, testspeed.py:242);
+  dispatch is ~20 µs/step and fully overlapped with device compute.
+  A lax.scan rollout hits a pathological slowdown with the Pallas solver
+  custom-call inside the scan body (tracked; ~14x), so the host loop is
+  also the faster harness today.
+  """
   m, d = build(mjm, nworld, seed)
   dt = float(jax.device_get(m.opt.timestep))
 
-  unroll = jax.jit(rollout_fn(m, nstep), donate_argnums=0)
-  warm = jax.jit(rollout_fn(m, warmup_steps), donate_argnums=0)
+  step = jax.jit(lambda dd: fwd.step(m, dd), donate_argnums=0)
 
   t0 = time.perf_counter()
-  d = jax.block_until_ready(warm(d))
+  d = jax.block_until_ready(step(d))
   jit_duration = time.perf_counter() - t0
+  for _ in range(warmup_steps - 1):
+    d = step(d)
+  d = jax.block_until_ready(d)
 
   t0 = time.perf_counter()
-  d = jax.block_until_ready(unroll(d))
+  for _ in range(nstep):
+    d = step(d)
+  d = jax.block_until_ready(d)
   run_time = time.perf_counter() - t0
 
   steps = nworld * nstep

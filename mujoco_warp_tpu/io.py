@@ -201,10 +201,14 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32) -> types.Model:
       if mjm.body_parentid[mjm.jnt_bodyid[i]] != 0:
         pass  # MuJoCo itself enforces placement; trust the compiler.
 
+  # C MuJoCo's default tolerance (1e-8) targets float64; in fp32 the solver
+  # would burn its whole iteration budget bouncing around the optimum
+  # (reference: io.py:429 applies the same 1e-6 floor)
+  tolerance = max(float(mjm.opt.tolerance), 1e-6)
   opt = types.Option(
       timestep=_jnp(mjm.opt.timestep, dtype),
       impratio=_jnp(mjm.opt.impratio, dtype),
-      tolerance=_jnp(mjm.opt.tolerance, dtype),
+      tolerance=_jnp(tolerance, dtype),
       ls_tolerance=_jnp(mjm.opt.ls_tolerance, dtype),
       gravity=_jnp(mjm.opt.gravity, dtype),
       wind=_jnp(mjm.opt.wind, dtype),

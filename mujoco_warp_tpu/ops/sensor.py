@@ -424,19 +424,19 @@ def sensor_acc(m: types.Model, d: types.Data) -> types.Data:
     elif t == _ST.TOUCH:
       # sum of normal contact forces on the site's body whose contact
       # point lies in the site zone; approximated by body match (zone test
-      # refined later with site geometry)
+      # refined later with site geometry).  The (site, contact) match
+      # matrix is static → one masked matvec.
       body = m.site_bodyid[objid]
       forces = smooth._contact_forces(m, d)
       con = d.contact
       fn = jnp.linalg.norm(forces[:, 3:], axis=-1)
-      active = con.dist < con.includemargin
+      active = (con.dist < con.includemargin).astype(dtype)
       b1 = m.geom_bodyid[con.geom1]
       b2 = m.geom_bodyid[con.geom2]
-      vals = []
-      for b in body:
-        match = jnp.asarray((b1 == b) | (b2 == b)) & active
-        vals.append(jnp.sum(jnp.where(match, fn, 0.0)))
-      sd = _write(sd, adr, 1, jnp.stack(vals))
+      match = ((b1[None, :] == body[:, None]) |
+               (b2[None, :] == body[:, None]))  # (nt, ncon) static
+      vals = jnp.asarray(match.astype(np.float32), dtype) @ (fn * active)
+      sd = _write(sd, adr, 1, vals)
   d = d.replace(sensordata=_apply_cutoff(m, sd, stage='acc'))
   return _finish_acc(m, d)
 
