@@ -415,6 +415,10 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32) -> types.Model:
       sensor_historyadr=mjm.sensor_historyadr.copy(),
       sensor_delay=mjm.sensor_delay.copy(),
       sensor_interval=mjm.sensor_interval.copy(),
+      # mesh (static: trace-time support-function tables)
+      mesh_vert=np.asarray(mjm.mesh_vert, np.float32).reshape(-1, 3),
+      mesh_vertadr=mjm.mesh_vertadr.copy(),
+      mesh_vertnum=mjm.mesh_vertnum.copy(),
       # collision tables
       pair_geom1=pairs.pair_geom1,
       pair_geom2=pairs.pair_geom2,

@@ -31,13 +31,38 @@ _DISCOVER_ITERS = 16
 _REFINE_ITERS = 30
 
 CONVEX_TYPES = (int(_GT.SPHERE), int(_GT.CAPSULE), int(_GT.ELLIPSOID),
-                int(_GT.CYLINDER), int(_GT.BOX))
+                int(_GT.CYLINDER), int(_GT.BOX), int(_GT.MESH))
 
 
-def _support_local(gtype: int, size, d):
+def padded_mesh_verts(m, geom_ids):
+  """Static (n, maxvert, 3) vertex table for mesh geoms (convex hull =
+  all vertices; support = argmax vertex).  Non-mesh ids get a degenerate
+  point at the origin."""
+  import numpy as np
+  ids = np.asarray(geom_ids)
+  counts = []
+  for g in ids:
+    did = int(m.geom_dataid[g])
+    counts.append(int(m.mesh_vertnum[did]) if did >= 0 else 1)
+  maxv = max(counts)
+  out = np.zeros((len(ids), maxv, 3), np.float32)
+  mask = np.zeros((len(ids), maxv), bool)
+  for i, g in enumerate(ids):
+    did = int(m.geom_dataid[g])
+    if did >= 0:
+      adr, num = int(m.mesh_vertadr[did]), int(m.mesh_vertnum[did])
+      out[i, :num] = m.mesh_vert[adr:adr + num]
+      mask[i, :num] = True
+    else:
+      mask[i, 0] = True
+  return out, mask
+
+
+def _support_local(gtype: int, size, d, verts=None, vmask=None):
   """Support point of a geom type in its local frame; d need not be unit.
 
-  size (n, 3); d (n, 3) → (n, 3).
+  size (n, 3); d (n, 3) → (n, 3).  Mesh geoms use their static padded
+  vertex tables (verts (n, maxvert, 3), vmask (n, maxvert)).
   """
   dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), _EPS)
   if gtype == _GT.SPHERE:
@@ -61,18 +86,25 @@ def _support_local(gtype: int, size, d):
     s = jnp.sign(dn)
     s = jnp.where(s == 0, 1.0, s)
     return size * s
+  if gtype == _GT.MESH:
+    dots = jnp.einsum('nvk,nk->nv', verts, dn)
+    dots = jnp.where(jnp.asarray(vmask), dots, -jnp.inf)
+    idx = jnp.argmax(dots, axis=-1)
+    return jnp.take_along_axis(verts, idx[:, None, None], axis=1)[:, 0]
   raise NotImplementedError(f'support for geom type {gtype}')
 
 
-def _make_support(t1: int, t2: int):
+def _make_support(t1: int, t2: int, mesh1=None, mesh2=None):
   """CSO support S(d) = supA(d) − supB(−d) with witness points."""
+  v1_, m1_ = mesh1 if mesh1 is not None else (None, None)
+  v2_, m2_ = mesh2 if mesh2 is not None else (None, None)
 
   def support(d, pos1, mat1, size1, pos2, mat2, size2, inflate):
     # world → local directions
     d1 = jnp.einsum('nij,ni->nj', mat1, d)
     d2 = jnp.einsum('nij,ni->nj', mat2, -d)
-    a_l = _support_local(t1, size1, d1)
-    b_l = _support_local(t2, size2, d2)
+    a_l = _support_local(t1, size1, d1, v1_, m1_)
+    b_l = _support_local(t2, size2, d2, v2_, m2_)
     dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), _EPS)
     a = pos1 + jnp.einsum('nij,nj->ni', mat1, a_l) + inflate * dn
     b = pos2 + jnp.einsum('nij,nj->ni', mat2, b_l) - inflate * dn
@@ -82,7 +114,7 @@ def _make_support(t1: int, t2: int):
 
 
 def mpr(t1: int, t2: int, pos1, mat1, size1, pos2, mat2, size2,
-        inflate):
+        inflate, mesh1=None, mesh2=None):
   """Batched MPR (XenoCollide): returns (hit, depth, normal, point).
 
   CSO is A−B; origin inside ⇔ collision.  The outward portal normal is
@@ -91,7 +123,7 @@ def mpr(t1: int, t2: int, pos1, mat1, size1, pos2, mat2, size2,
   """
   nb = pos1.shape[0]
   dtype = pos1.dtype
-  S = _make_support(t1, t2)
+  S = _make_support(t1, t2, mesh1, mesh2)
   sup = lambda d: S(d, pos1, mat1, size1, pos2, mat2, size2, inflate)
 
   def dot(a, b):
@@ -256,8 +288,17 @@ def make_convex_collider(t1: int, t2: int):
     pos2, mat2, size2 = d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2]
     margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
     inflate = (0.5 * margin)[:, None]
+    mesh1 = None
+    mesh2 = None
+    if t1 == _GT.MESH:
+      v, msk = padded_mesh_verts(m, g1)
+      mesh1 = (jnp.asarray(v), msk)
+    if t2 == _GT.MESH:
+      v, msk = padded_mesh_verts(m, g2)
+      mesh2 = (jnp.asarray(v), msk)
     hit, depth, normal, point = mpr(
-        t1, t2, pos1, mat1, size1, pos2, mat2, size2, inflate)
+        t1, t2, pos1, mat1, size1, pos2, mat2, size2, inflate, mesh1,
+        mesh2)
     dist = jnp.where(hit, -depth + margin, _BIG)
     return dist[None], point[None], normal[None]
 

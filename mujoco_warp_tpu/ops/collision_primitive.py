@@ -39,6 +39,7 @@ PAIR_NCON = {
     (_GT.CAPSULE, _GT.CAPSULE): 1,
     (_GT.CAPSULE, _GT.BOX): 2,
     (_GT.BOX, _GT.BOX): 8,
+    (_GT.PLANE, _GT.MESH): 4,
 }
 
 
@@ -367,6 +368,29 @@ def box_box(m, d, g1, g2):
   return dist, pos, nrm
 
 
+def plane_mesh(m, d, g1, g2):
+  """Plane vs convex mesh: deepest 4 vertices below the plane.
+
+  Counterpart of the reference's plane-convex collider
+  (collision_primitive_core); uses the mesh's static vertex table.
+  """
+  from mujoco_warp_tpu.ops import collision_convex
+  p_pos, p_mat, _ = _geom(m, d, g1)
+  m_pos, m_mat, _ = _geom(m, d, g2)
+  n = p_mat[:, :, 2]
+  verts, vmask = collision_convex.padded_mesh_verts(m, g2)
+  vw = m_pos[:, None, :] + jnp.einsum('nij,nvj->nvi', m_mat,
+                                      jnp.asarray(verts))
+  hgt = jnp.sum(n[:, None, :] * (vw - p_pos[:, None, :]), axis=-1)
+  hgt = jnp.where(jnp.asarray(vmask), hgt, _BIG)
+  neg_h, idx = jax.lax.top_k(-hgt, 4)
+  dist4 = -neg_h  # (n, 4)
+  v4 = jnp.take_along_axis(vw, idx[:, :, None], axis=1)
+  pos4 = v4 - 0.5 * dist4[:, :, None] * n[:, None, :]
+  return dist4.T, jnp.swapaxes(pos4, 0, 1), jnp.broadcast_to(
+      n[None], (4,) + n.shape)
+
+
 # dispatch table keyed by (geomtype1, geomtype2); values are collider fns
 COLLIDERS = {
     (_GT.PLANE, _GT.SPHERE): plane_sphere,
@@ -381,4 +405,5 @@ COLLIDERS = {
     (_GT.CAPSULE, _GT.CAPSULE): capsule_capsule,
     (_GT.CAPSULE, _GT.BOX): capsule_box,
     (_GT.BOX, _GT.BOX): box_box,
+    (_GT.PLANE, _GT.MESH): plane_mesh,
 }

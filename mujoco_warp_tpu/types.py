@@ -616,6 +616,11 @@ class Model:
   sensor_delay: np.ndarray = field(static=True, default=None)
   sensor_interval: np.ndarray = field(static=True, default=None)
 
+  # ------------------------------------------------------------------ mesh
+  mesh_vert: np.ndarray = field(static=True, default=None)  # (nmeshvert, 3)
+  mesh_vertadr: np.ndarray = field(static=True, default=None)
+  mesh_vertnum: np.ndarray = field(static=True, default=None)
+
   # ------------------------------------------------------- collision tables
   # static candidate geom pairs after contype/conaffinity + parent filtering
   # (reference: io.py nxn pair precompute; collision_driver.py:47)
