@@ -95,18 +95,34 @@ def run(mjm, nworld: int = 8192, nstep: int = 100, seed: int = 0,
   m, d = build(mjm, nworld, seed)
   dt = float(jax.device_get(m.opt.timestep))
 
-  step = jax.jit(lambda dd: fwd.step(m, dd), donate_argnums=0)
+  # OU exploration noise on ctrl, as the reference's unroll applies around
+  # the replay/keyframe ctrl (cli.py:94-136) — keeps the rollout dynamic
+  nu = m.nu
+  tau = 0.2
+
+  def step_fn(dd, key):
+    if nu:
+      key, sub = jax.random.split(key)
+      eta = jax.random.normal(sub, dd.ctrl.shape, dd.ctrl.dtype)
+      decay = jnp.exp(-dt / tau)
+      ctrl = dd.ctrl * decay + 0.2 * np.sqrt(dt) * eta
+      dd = dd.replace(ctrl=ctrl)
+    return fwd.step(m, dd), key
+
+  step = jax.jit(step_fn, donate_argnums=0)
+  key = jax.random.PRNGKey(seed)
 
   t0 = time.perf_counter()
-  d = jax.block_until_ready(step(d))
+  d, key = step(d, key)
+  jax.block_until_ready(d)
   jit_duration = time.perf_counter() - t0
   for _ in range(warmup_steps - 1):
-    d = step(d)
+    d, key = step(d, key)
   d = jax.block_until_ready(d)
 
   t0 = time.perf_counter()
   for _ in range(nstep):
-    d = step(d)
+    d, key = step(d, key)
   d = jax.block_until_ready(d)
   run_time = time.perf_counter() - t0
 
