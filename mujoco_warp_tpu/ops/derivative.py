@@ -65,20 +65,42 @@ def deriv_smooth_vel(m: types.Model, d: types.Data) -> jax.Array:
   return qderiv.astype(dtype)
 
 
+def deriv_rne_vel(m: types.Model, d: types.Data) -> jax.Array:
+  """−∂qfrc_bias/∂qvel for the full IMPLICIT integrator.
+
+  The reference hand-derives this in 1.3k lines of D-structure sparse
+  kernels (derivative.py:514 `deriv_rne_vel`); here the whole RNE pipeline
+  is differentiable jnp, so the exact Jacobian is one `jax.jacfwd` through
+  com_vel→rne — XLA fuses the nv forward tangent passes into batched
+  matmuls, which is the TPU-native formulation of the same math.
+  """
+  from mujoco_warp_tpu.ops import smooth
+
+  def bias_of_qvel(qvel):
+    dd = d.replace(qvel=qvel)
+    dd = smooth.com_vel(m, dd)
+    dd = smooth.rne(m, dd)
+    return dd.qfrc_bias
+
+  return -jax.jacfwd(bias_of_qvel)(d.qvel)
+
+
 def implicit(m: types.Model, d: types.Data) -> types.Data:
   """Implicit-in-velocity integration (reference: forward.py:579).
 
   Solves (M − dt·qDeriv) qacc' = M qacc, then advances (the qacc from the
   constraint solver satisfies M qacc = qfrc_smooth + qfrc_constraint).
+  IMPLICITFAST uses the smooth-force derivative only; IMPLICIT adds the
+  exact RNE (Coriolis) velocity derivative.
   """
   from mujoco_warp_tpu.ops import forward as fwd
 
   dtype = d.qpos.dtype
   dt = m.opt.timestep.astype(dtype)
   qderiv = deriv_smooth_vel(m, d)
+  if m.opt.integrator == types.IntegratorType.IMPLICIT:
+    qderiv = qderiv + deriv_rne_vel(m, d)
   A = d.qM - dt * qderiv
-  # A is near-symmetric positive definite for damping-dominated systems;
-  # use LU-free solve via jnp.linalg.solve (batched under vmap)
   rhs = d.qM @ d.qacc
   qacc = jnp.linalg.solve(A, rhs)
   return fwd._advance(m, d, qacc)

@@ -135,7 +135,7 @@ def sensor_pos(m: types.Model, d: types.Data) -> types.Data:
       _ST.BALLQUAT, _ST.JOINTLIMITPOS, _ST.TENDONLIMITPOS, _ST.FRAMEPOS,
       _ST.FRAMEQUAT, _ST.FRAMEXAXIS, _ST.FRAMEYAXIS, _ST.FRAMEZAXIS,
       _ST.SUBTREECOM, _ST.CLOCK, _ST.E_POTENTIAL, _ST.E_KINETIC,
-      _ST.RANGEFINDER,
+      _ST.RANGEFINDER, _ST.GEOMDIST, _ST.GEOMNORMAL, _ST.GEOMFROMTO,
   ])
 
   for t, ids in g.items():
@@ -239,6 +239,48 @@ def sensor_pos(m: types.Model, d: types.Data) -> types.Data:
       b = m.opt.magnetic.astype(dtype)
       sd = _write(sd, adr, 3,
                   jnp.einsum('nji,j->ni', mat, b))
+    elif t in (_ST.GEOMDIST, _ST.GEOMNORMAL, _ST.GEOMFROMTO):
+      # signed distance between two geoms (mj_geomDistance semantics):
+      # runs the pair's narrowphase; distance capped at the sensor cutoff
+      from mujoco_warp_tpu.ops import collision_convex, collision_primitive
+      vals = []
+      for k, s in enumerate(ids):
+        g1 = int(m.sensor_objid[s])
+        g2 = int(m.sensor_refid[s])
+        if (int(m.sensor_objtype[s]) != _OT.GEOM or
+            int(m.sensor_reftype[s]) != _OT.GEOM):
+          raise NotImplementedError(
+              'geomdist sensors support geom-geom pairs (body operands '
+              'pending)')
+        t1, t2 = int(m.geom_type[g1]), int(m.geom_type[g2])
+        swap = t1 > t2
+        if swap:
+          g1, g2, t1, t2 = g2, g1, t2, t1
+        fn = collision_primitive.COLLIDERS.get((t1, t2))
+        if fn is None:
+          fn = collision_convex.make_convex_collider(t1, t2)
+        ga = np.asarray([g1])
+        gb = np.asarray([g2])
+        dist_k, pos_k, n_k = fn(m, d, ga, gb)
+        best = jnp.argmin(dist_k[:, 0])
+        cutoff = m.sensor_cutoff[s]
+        dist = jnp.minimum(dist_k[best, 0], cutoff)
+        normal = n_k[best, 0] * jnp.where(jnp.asarray(swap), -1.0, 1.0)
+        pos = pos_k[best, 0]
+        if t == _ST.GEOMDIST:
+          vals.append(dist[None])
+        elif t == _ST.GEOMNORMAL:
+          vals.append(jnp.where(dist_k[best, 0] < cutoff, normal,
+                                jnp.zeros(3, dtype)))
+        else:  # GEOMFROMTO: segment between surface points
+          p_from = pos - 0.5 * dist * normal
+          p_to = pos + 0.5 * dist * normal
+          hit = dist_k[best, 0] < cutoff
+          seg = jnp.where(hit, jnp.concatenate([p_from, p_to]),
+                          jnp.zeros(6, dtype))
+          vals.append(seg)
+      dim = {_ST.GEOMDIST: 1, _ST.GEOMNORMAL: 3, _ST.GEOMFROMTO: 6}[t]
+      sd = _write(sd, adr, dim, jnp.stack(vals))
     elif t == _ST.RANGEFINDER:
       from mujoco_warp_tpu.ops import ray as ray_ops
       pnt = d.site_xpos[objid]
@@ -451,13 +493,15 @@ def _finish_acc(m: types.Model, d: types.Data) -> types.Data:
 
 def _apply_cutoff(m: types.Model, sd, stage):
   """Clamp sensordata by per-sensor cutoff (mjDATATYPE semantics)."""
-  if not np.any(np.asarray(jax.device_get(m.sensor_cutoff)) > 0):
+  cut_host = np.asarray(jax.device_get(m.sensor_cutoff))
+  if not np.any(cut_host > 0):
     return sd
-  # build static per-element cutoff/datatype tables
+  # build static per-element cutoff/datatype tables (host-side snapshot:
+  # per-element jnp indexing would trace and break device_get)
   cut = np.zeros(m.nsensordata, np.float32)
   positive = np.zeros(m.nsensordata, bool)
   for s in range(m.nsensor):
-    c = float(jax.device_get(m.sensor_cutoff[s]))
+    c = float(cut_host[s])
     a, dim = int(m.sensor_adr[s]), int(m.sensor_dim[s])
     cut[a:a + dim] = c
     positive[a:a + dim] = m.sensor_datatype[s] == 1  # mjDATATYPE_POSITIVE

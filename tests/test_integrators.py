@@ -44,3 +44,18 @@ def test_implicitfast_actuated():
   d = jax.block_until_ready(d)
   assert_close(d.qpos, mjd.qpos, 'implicitfast-act qpos@50', atol=5e-3,
                rtol=5e-3)
+
+
+def test_implicit_full():
+  """Full IMPLICIT integrator (RNE velocity derivative) vs mj_step."""
+  mjm, mjd, m, d = models.fixture(
+      'pendula.xml', qpos_noise=0.1, qvel_noise=0.3, seed=11,
+      overrides=('opt.integrator=2',))
+  step = jax.jit(lambda d: fwd.step(m, d))
+  for _ in range(100):
+    mujoco.mj_step(mjm, mjd)
+  for _ in range(100):
+    d = step(d)
+  d = jax.block_until_ready(d)
+  assert_close(d.qpos, mjd.qpos, 'implicit qpos@100', atol=1e-3,
+               rtol=1e-3)

@@ -53,3 +53,33 @@ def test_energy():
   assert_close(d.energy[0], mjd.energy[0], 'potential', atol=1e-3,
                rtol=1e-3)
   assert_close(d.energy[1], mjd.energy[1], 'kinetic', atol=1e-3, rtol=1e-3)
+
+
+def test_geomdist_sensors():
+  import tempfile
+  xml = """
+<mujoco>
+  <worldbody>
+    <body pos="0 0 1"><joint type="slide" axis="1 0 0"/>
+      <geom name="g1" type="sphere" size="0.1" contype="0" conaffinity="0"/></body>
+    <body pos="0.5 0.05 1.02"><joint type="slide" axis="0 1 0"/>
+      <geom name="g2" type="capsule" size="0.06 0.1" euler="30 0 0" contype="0" conaffinity="0"/></body>
+  </worldbody>
+  <sensor>
+    <distance geom1="g1" geom2="g2" cutoff="2"/>
+    <normal geom1="g1" geom2="g2" cutoff="2"/>
+    <fromto geom1="g1" geom2="g2" cutoff="2"/>
+  </sensor>
+</mujoco>"""
+  with tempfile.NamedTemporaryFile('w', suffix='.xml', delete=False) as f:
+    f.write(xml)
+    path = f.name
+  mjm, mjd, m, d = models.fixture(path, qpos_noise=0.1)
+  import os as _os
+  _os.unlink(path)
+  out = jax.jit(lambda d: fwd.forward(m, d))(d)
+  ours = np.asarray(out.sensordata, np.float64)
+  ref = mjd.sensordata
+  assert abs(ours[0] - ref[0]) < 2e-3, f'dist {ours[0]} vs {ref[0]}'
+  assert np.abs(ours[1:4] - ref[1:4]).max() < 5e-2, f'normal {ours[1:4]} vs {ref[1:4]}'
+  assert np.abs(ours[4:10] - ref[4:10]).max() < 5e-3, f'fromto {ours[4:10]} vs {ref[4:10]}'
