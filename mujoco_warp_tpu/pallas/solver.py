@@ -126,7 +126,8 @@ def _make_kernel(m: types.Model, dtype):
 
   def kernel(J_ref, D_ref, aref_ref, fl_ref, M_ref, qfrc_smooth_ref,
              qacc0_ref, w_eq_ref, w_fri_ref, tol_ref, ls_tol_ref,
-             meaninertia_ref, qacc_out, force_out, niter_out, scr_ref):
+             meaninertia_ref, qacc_out, force_out, qfrc_c_out,
+             niter_out, scr_ref):
     def _launder(x, row):
       # normalize the Mosaic layout of a (1, W) per-world scalar by
       # round-tripping through VMEM scratch: reduction results carry
@@ -394,6 +395,7 @@ def _make_kernel(m: types.Model, dtype):
 
     qacc_out[:] = qacc_f
     force_out[:] = force_f
+    qfrc_c_out[:] = JT_vec(force_f)
     niter_out[:] = niter_f.astype(jnp.int32)
 
   return kernel
@@ -418,17 +420,18 @@ def _solve_tiles(m: types.Model, J, D, aref, fl, M, qfrc_smooth, qacc0,
   w_eq = jnp.asarray(is_eq.astype(np.float32), dtype)[:, None]
   w_fri = jnp.asarray(is_fri.astype(np.float32), dtype)[:, None]
   kernel = _make_kernel(m, dtype)
-  qacc, force, niter = pl.pallas_call(
+  qacc, force, qfrc_c, niter = pl.pallas_call(
       kernel,
       grid=(W // TILE_W,),
       in_specs=[
           bw(nefc, nv), bw(nefc), bw(nefc), bw(nefc), bw(nv, nv), bw(nv),
           bw(nv), mask_spec, mask_spec, smem, smem, smem,
       ],
-      out_specs=[bw(nv), bw(nefc), bw(1)],
+      out_specs=[bw(nv), bw(nefc), bw(nv), bw(1)],
       out_shape=[
           jax.ShapeDtypeStruct((nv, W), dtype),
           jax.ShapeDtypeStruct((nefc, W), dtype),
+          jax.ShapeDtypeStruct((nv, W), dtype),
           jax.ShapeDtypeStruct((1, W), jnp.int32),
       ],
       scratch_shapes=[pltpu.VMEM((8, TILE_W), dtype)],
@@ -437,7 +440,7 @@ def _solve_tiles(m: types.Model, J, D, aref, fl, M, qfrc_smooth, qacc0,
       interpret=interpret,
   )(J, D, aref, fl, M, qfrc_smooth, qacc0, w_eq, w_fri, tol, ls_tol,
     meaninertia)
-  return qacc, force, niter
+  return qacc, force, qfrc_c, niter
 
 
 def solve_batched(m: types.Model, d: types.Data,
@@ -459,13 +462,13 @@ def solve_batched(m: types.Model, d: types.Data,
   ls_tol = m.opt.ls_tolerance.astype(dtype).reshape(1, 1)
   meaninertia = m.stat.meaninertia.astype(dtype).reshape(1, 1)
 
-  qacc, force, niter = _solve_tiles(
+  qacc, force, qfrc_c, niter = _solve_tiles(
       m, J, D, aref, fl, M, qfrc_smooth, qacc0, tol, ls_tol, meaninertia,
       interpret=interpret)
 
   qacc_w = qacc.T
   force_w = force.T
-  qfrc_constraint = jnp.einsum('wrv,wr->wv', d.efc_J, force_w)
+  qfrc_constraint = qfrc_c.T
   return d.replace(
       qacc=qacc_w,
       qacc_warmstart=qacc_w,
