@@ -362,15 +362,48 @@ def _step(m: types.Model, d: types.Data) -> types.Data:
 
 def step(m: types.Model, d: types.Data) -> types.Data:
   """One physics step; batched Data takes the stage-split fast path so the
-  solver can run as a Pallas world-tile megakernel."""
+  mass-matrix chain and the Newton solve run as Pallas world-tile
+  megakernels."""
   if d.qpos.ndim != 2:
     return _step(m, d)
 
+  from mujoco_warp_tpu.pallas import smooth as psmooth
+
+  use_mass_chain = psmooth.supported(m, d)
+
   def pre(dd):
+    if use_mass_chain:
+      # position stages up to the fused crb/factor/com_vel/rne kernel
+      dd = smooth.kinematics(m, dd)
+      dd = smooth.com_pos(m, dd)
+      dd = smooth.camlight(m, dd)
+      dd = smooth.tendon(m, dd)
+      return dd
     dd = fwd_position(m, dd)
     dd = sensor.sensor_pos(m, dd)
     dd = sensor.energy_pos(m, dd)
     dd = fwd_velocity(m, dd)
+    dd = sensor.sensor_vel(m, dd)
+    dd = sensor.energy_vel(m, dd)
+    dd = fwd_actuation(m, dd)
+    dd = fwd_acceleration(m, dd)
+    return dd
+
+  def mid(dd):
+    # stages after the mass chain (constraint assembly uses cvel/cdof_dot)
+    if m.opt.run_collision_detection:
+      dd = collision_driver.collision(m, dd)
+    dd = constraint.make_constraint(m, dd)
+    dd = smooth.transmission(m, dd)
+    dd = sensor.sensor_pos(m, dd)
+    dd = sensor.energy_pos(m, dd)
+    # fwd_velocity minus com_vel/rne (already fused in the mass chain)
+    actuator_velocity = dd.actuator_moment @ dd.qvel if m.nu else \
+        dd.actuator_velocity
+    ten_velocity = dd.ten_J @ dd.qvel if m.ntendon else dd.ten_velocity
+    dd = dd.replace(actuator_velocity=actuator_velocity,
+                    ten_velocity=ten_velocity)
+    dd = passive.passive(m, dd)
     dd = sensor.sensor_vel(m, dd)
     dd = sensor.energy_vel(m, dd)
     dd = fwd_actuation(m, dd)
@@ -391,6 +424,9 @@ def step(m: types.Model, d: types.Data) -> types.Data:
     raise NotImplementedError(f'integrator {integ}')
 
   d = jax.vmap(pre)(d)
+  if use_mass_chain:
+    d = psmooth.mass_chain(m, d)
+    d = jax.vmap(mid)(d)
   d = solver.solve_batched(m, d)
   return jax.vmap(post)(d)
 
