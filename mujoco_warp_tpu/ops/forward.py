@@ -227,13 +227,19 @@ def fwd_actuation(m: types.Model, d: types.Data) -> types.Data:
                    qfrc_actuator=qfrc)
 
 
-def fwd_acceleration(m: types.Model, d: types.Data) -> types.Data:
-  """Smooth (unconstrained) acceleration (reference: forward.py:1291)."""
+def fwd_smooth_force(m: types.Model, d: types.Data) -> types.Data:
+  """qfrc_smooth = passive − bias + actuator + applied forces."""
   qfrc_applied = d.qfrc_applied + support.xfrc_accumulate(m, d)
   qfrc_smooth = (d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator +
                  qfrc_applied)
-  qacc_smooth = smooth.solve_m(m, d, qfrc_smooth)
-  return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
+  return d.replace(qfrc_smooth=qfrc_smooth)
+
+
+def fwd_acceleration(m: types.Model, d: types.Data) -> types.Data:
+  """Smooth (unconstrained) acceleration (reference: forward.py:1291)."""
+  d = fwd_smooth_force(m, d)
+  qacc_smooth = smooth.solve_m(m, d, d.qfrc_smooth)
+  return d.replace(qacc_smooth=qacc_smooth)
 
 
 # ------------------------------------------------------------------ integrate
@@ -407,7 +413,7 @@ def step(m: types.Model, d: types.Data) -> types.Data:
     dd = sensor.sensor_vel(m, dd)
     dd = sensor.energy_vel(m, dd)
     dd = fwd_actuation(m, dd)
-    dd = fwd_acceleration(m, dd)
+    dd = fwd_smooth_force(m, dd)
     return dd
 
   def post(dd):
@@ -423,11 +429,34 @@ def step(m: types.Model, d: types.Data) -> types.Data:
       return derivative.implicit(m, dd)
     raise NotImplementedError(f'integrator {integ}')
 
+  from mujoco_warp_tpu.pallas import linalg as plinalg
+
   d = jax.vmap(pre)(d)
   if use_mass_chain:
     d = psmooth.mass_chain(m, d)
     d = jax.vmap(mid)(d)
+    # qacc_smooth via the lane-parallel triangular solve
+    if plinalg.supported(m, d):
+      d = d.replace(qacc_smooth=plinalg.chol_solve_batched(
+          m, d.qLD, d.qfrc_smooth))
+    else:
+      d = d.replace(qacc_smooth=jax.vmap(
+          lambda dd: smooth.solve_m(m, dd, dd.qfrc_smooth))(d))
   d = solver.solve_batched(m, d)
+
+  # integrate: batched Euler-damp solve when applicable
+  dsbl = m.opt.disableflags
+  damped = (m.opt.integrator == types.IntegratorType.EULER and
+            not (dsbl & (types.DisableBit.EULERDAMP |
+                         types.DisableBit.DAMPER)) and
+            bool(np.any(np.asarray(
+                jax.device_get(m.dof_damping)) > 0)))
+  if damped and plinalg.supported(m, d):
+    d = jax.vmap(lambda dd: sensor.sensor_acc(m, dd))(d)
+    dt = m.opt.timestep.astype(d.qpos.dtype)
+    qacc_int = plinalg.damped_solve_batched(m, d.qM, m.dof_damping, dt,
+                                            d.qacc)
+    return jax.vmap(lambda dd, qi: _advance(m, dd, qi))(d, qacc_int)
   return jax.vmap(post)(d)
 
 
