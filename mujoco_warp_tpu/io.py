@@ -569,6 +569,31 @@ def get_data_into(mjd: mujoco.MjData, mjm: mujoco.MjModel, d: types.Data,
     mjd.mocap_quat[:] = np.asarray(d.mocap_quat, np.float64)
   if mjm.nsensordata:
     mjd.sensordata[:] = np.asarray(d.sensordata, np.float64)
+  # derived fields the viewer/tests read back
+  mjd.xipos[:] = np.asarray(d.xipos, np.float64)
+  mjd.ximat[:] = np.asarray(d.ximat, np.float64).reshape(mjm.nbody, 9)
+  mjd.geom_xpos[:] = np.asarray(d.geom_xpos, np.float64)
+  mjd.geom_xmat[:] = np.asarray(d.geom_xmat, np.float64).reshape(
+      mjm.ngeom, 9)
+  if mjm.nsite:
+    mjd.site_xpos[:] = np.asarray(d.site_xpos, np.float64)
+    mjd.site_xmat[:] = np.asarray(d.site_xmat, np.float64).reshape(
+        mjm.nsite, 9)
+  mjd.subtree_com[:] = np.asarray(d.subtree_com, np.float64)
+  mjd.qfrc_bias[:] = np.asarray(d.qfrc_bias, np.float64)
+  mjd.qfrc_passive[:] = np.asarray(d.qfrc_passive, np.float64)
+  mjd.qfrc_actuator[:] = np.asarray(d.qfrc_actuator, np.float64)
+  mjd.qfrc_constraint[:] = np.asarray(d.qfrc_constraint, np.float64)
+  if mjm.nu:
+    mjd.actuator_force[:] = np.asarray(d.actuator_force, np.float64)
+    mjd.actuator_length[:] = np.asarray(d.actuator_length, np.float64)
+    mjd.actuator_velocity[:] = np.asarray(d.actuator_velocity,
+                                          np.float64)
+  if mjm.ntendon:
+    mjd.ten_length[:] = np.asarray(d.ten_length, np.float64)
+    mjd.ten_velocity[:] = np.asarray(d.ten_velocity, np.float64)
+  if mjm.na:
+    mjd.act_dot[:] = np.asarray(d.act_dot, np.float64)
 
 
 def reset_data(m: types.Model, d: types.Data,
