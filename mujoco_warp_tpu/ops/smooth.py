@@ -700,8 +700,8 @@ def transmission(m: types.Model, d: types.Data) -> types.Data:
       qadr = int(m.jnt_qposadr[tid])
       dadr = int(m.jnt_dofadr[tid])
       if jt in (_JT.SLIDE, _JT.HINGE):
-        length = length.at[u].set(
-            (d.qpos[qadr] - m.qpos0[qadr]) * gear[0])
+        # raw qpos, not qpos - qpos0 (mj_transmission semantics)
+        length = length.at[u].set(d.qpos[qadr] * gear[0])
         moment = moment.at[u, dadr].set(gear[0])
       elif jt == _JT.BALL:
         # quaternion joint: length = gear · axis-angle(qpos)
@@ -751,5 +751,68 @@ def transmission(m: types.Model, d: types.Data) -> types.Data:
         length = length.at[u].set(dist * gear[0])
         mom = (jacp - jacp2).T @ dirn * gear[0]
         moment = moment.at[u].set(mom.astype(dtype))
-    # BODY (adhesion) and SLIDERCRANK: later phases
+    elif tt == types.TrnType.SLIDERCRANK:
+      # crank site trnid[0] driven by a rod from slider site trnid[1];
+      # slider axis = slider frame z (reference: smooth.py:2395)
+      from mujoco_warp_tpu.ops import support  # local to avoid cycle
+      sid = int(m.actuator_trnid[u, 1])
+      rod = m.actuator_cranklength[u]
+      axis = d.site_xmat[sid][:, 2]
+      vec = d.site_xpos[tid] - d.site_xpos[sid]
+      av = jnp.dot(vec, axis)
+      det = av * av + rod * rod - jnp.dot(vec, vec)
+      ok = det > 0.0
+      sdet = jnp.sqrt(jnp.maximum(det, 1e-12))
+      L = jnp.where(ok, av - sdet, av)
+      # chain rule: dL/dvec, dL/daxis
+      scale = 1.0 - av / sdet
+      dldv = jnp.where(ok, axis * scale + vec / sdet, axis)
+      dlda = jnp.where(ok, vec * scale, vec)
+      jacp_c, _ = support.jac_site(m, d, tid)
+      jacp_s, jacr_s = support.jac_site(m, d, sid)
+      jac = jacp_c - jacp_s                       # (3, nv)
+      jacA = jnp.cross(jacr_s.T, axis).T          # per-dof jacr x axis
+      mom = jac.T @ dldv + jacA.T @ dlda
+      length = length.at[u].set(L * gear[0])
+      moment = moment.at[u].set((mom * gear[0]).astype(dtype))
+    elif tt == types.TrnType.BODY:
+      # adhesion: mean contact-normal Jacobian over contacts touching the
+      # body, negated; in-gap contacts contribute normal-projected
+      # Jacobian differences (reference: smooth.py:2523/2730/2867)
+      from mujoco_warp_tpu.ops import collision_driver, support
+      con = d.contact
+      mom = jnp.zeros((m.nv,), dtype)
+      ncon_f = jnp.zeros((), dtype)
+      if con.geom1 is not None and len(con.geom1):
+        # margins are data-independent per static slot
+        cp = m.con_pair
+        _, _, _, marg, _, _ = collision_driver._mix_params(
+            m, m.pair_geom1[cp], m.pair_geom2[cp], m.pair_explicit[cp],
+            dtype)
+        for k in range(len(con.geom1)):
+          b1 = int(m.geom_bodyid[con.geom1[k]])
+          b2 = int(m.geom_bodyid[con.geom2[k]])
+          if b1 != tid and b2 != tid:
+            continue
+          found = (con.dist[k] < marg[k]).astype(dtype)
+          active = (con.dist[k] < con.includemargin[k]).astype(dtype)
+          ncon_f = ncon_f + found
+          adr = int(con.efc_address[k])
+          dim = int(con.dim[k])
+          if dim == 1 or m.opt.cone == types.ConeType.ELLIPTIC:
+            jn = d.efc_J[adr]
+          else:  # pyramidal: facet pairs average back to the normal row
+            npyr = dim - 1
+            jn = jnp.sum(d.efc_J[adr:adr + 2 * npyr], axis=0) * (
+                0.5 / npyr)
+          # in-gap contribution (inactive efc rows are zeroed, so the
+          # active term automatically vanishes there)
+          jp1, _ = support.jac(m, d, con.pos[k], b1)
+          jp2, _ = support.jac(m, d, con.pos[k], b2)
+          jgap = con.frame[k, 0] @ (jp2 - jp1)
+          mom = mom + active * jn + found * (1.0 - active) * jgap
+      has = ncon_f > 0
+      mom = jnp.where(has, -mom / jnp.maximum(ncon_f, 1.0), 0.0)
+      length = length.at[u].set(0.0)
+      moment = moment.at[u].set(mom.astype(dtype))
   return d.replace(actuator_length=length, actuator_moment=moment)
