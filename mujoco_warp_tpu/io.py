@@ -318,8 +318,10 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32) -> types.Model:
       geom_gap=_jnp(mjm.geom_gap, dtype),
       # site
       site_bodyid=mjm.site_bodyid.copy(),
+      site_type=mjm.site_type.copy(),
       site_pos=_jnp(mjm.site_pos, dtype),
       site_quat=_jnp(mjm.site_quat, dtype),
+      site_size=_jnp(mjm.site_size, dtype),
       # camera / light
       cam_mode=mjm.cam_mode.copy(),
       cam_bodyid=mjm.cam_bodyid.copy(),

@@ -136,6 +136,7 @@ def sensor_pos(m: types.Model, d: types.Data) -> types.Data:
       _ST.FRAMEQUAT, _ST.FRAMEXAXIS, _ST.FRAMEYAXIS, _ST.FRAMEZAXIS,
       _ST.SUBTREECOM, _ST.CLOCK, _ST.E_POTENTIAL, _ST.E_KINETIC,
       _ST.RANGEFINDER, _ST.GEOMDIST, _ST.GEOMNORMAL, _ST.GEOMFROMTO,
+      _ST.CAMPROJECTION, _ST.INSIDESITE,
   ])
 
   for t, ids in g.items():
@@ -293,6 +294,68 @@ def sensor_pos(m: types.Model, d: types.Data) -> types.Data:
                                bodyexclude=int(b))
         vals = vals.at[sel].set(dist)
       sd = _write(sd, adr, 1, vals)
+    elif t == _ST.CAMPROJECTION:
+      # pixel coordinates of a site in a camera image (reference:
+      # sensor.py:562 `_cam_projection`)
+      refid = m.sensor_refid[ids]  # camera
+      target = d.site_xpos[objid]
+      cpos = d.cam_xpos[refid]
+      cmat = d.cam_xmat[refid]
+      v = jnp.einsum('nij,ni->nj', cmat, target - cpos)
+      res = m.cam_resolution[refid].astype(np.float64)  # static (n, 2)
+      ss = m.cam_sensorsize[refid]  # (n, 2)
+      intr = m.cam_intrinsic[refid]  # (n, 4)
+      fovy = m.cam_fovy[refid]
+      f_fovy = 0.5 / jnp.tan(fovy * jnp.pi / 360.0) * res[:, 1]
+      use_intr = (ss[:, 0] != 0.0) & (ss[:, 1] != 0.0)
+      fx = jnp.where(use_intr, intr[:, 0] / (ss[:, 0] + 1e-15) * res[:, 0],
+                     f_fovy)
+      fy = jnp.where(use_intr, intr[:, 1] / (ss[:, 1] + 1e-15) * res[:, 1],
+                     f_fovy)
+      denom = v[:, 2]
+      denom = jnp.where(jnp.abs(denom) < 1e-15,
+                        jnp.clip(denom, -1e-15, 1e-15), denom)
+      px = -fx * v[:, 0] / denom + 0.5 * res[:, 0]
+      py = fy * v[:, 1] / denom + 0.5 * res[:, 1]
+      sd = _write(sd, adr, 2, jnp.stack([px, py], -1).astype(dtype))
+    elif t == _ST.INSIDESITE:
+      # 1.0 when the object position lies inside the (refid) site's
+      # primitive volume (reference: sensor.py:719, util_misc.py:676)
+      refid = m.sensor_refid[ids]
+      pos = _obj_pos(m, d, objtype, objid)
+      # BODY objects with ~zero mass but massive subtree use subtree_com
+      bsel = (objtype == _OT.BODY) & (objid > 0)
+      if np.any(bsel):
+        light = (m.body_mass[objid] < 1e-15) & (
+            m.body_subtreemass[objid] >= 1e-15)
+        use_com = jnp.asarray(bsel)[:, None] & light[:, None]
+        pos = jnp.where(use_com, d.subtree_com[objid], pos)
+      spos = d.site_xpos[refid]
+      smat = d.site_xmat[refid]
+      ssize = m.site_size[refid]
+      pl = jnp.einsum('nij,ni->nj', smat, pos - spos)
+      inside = jnp.zeros((len(ids),), bool)
+      stype = m.site_type[refid]
+      for k in range(len(ids)):
+        st = int(stype[k])
+        p, s = pl[k], ssize[k]
+        if st == types.GeomType.SPHERE:
+          ins = jnp.sum(p * p) < s[0] * s[0]
+        elif st == types.GeomType.CAPSULE:
+          zd = p[2] - jnp.clip(p[2], -s[1], s[1])
+          ins = p[0] ** 2 + p[1] ** 2 + zd * zd < s[0] * s[0]
+        elif st == types.GeomType.ELLIPSOID:
+          ps = p / s
+          ins = jnp.sum(ps * ps) < 1.0
+        elif st == types.GeomType.CYLINDER:
+          ins = (jnp.abs(p[2]) < s[1]) & (p[0] ** 2 + p[1] ** 2 <
+                                          s[0] * s[0])
+        elif st == types.GeomType.BOX:
+          ins = jnp.all(jnp.abs(p) < s)
+        else:
+          ins = jnp.asarray(False)
+        inside = inside.at[k].set(ins)
+      sd = _write(sd, adr, 1, inside.astype(dtype))
     elif t == _ST.CLOCK:
       sd = _write(sd, adr, 1,
                   jnp.broadcast_to(d.time[None], (len(ids), 1)))
@@ -420,8 +483,9 @@ def sensor_acc(m: types.Model, d: types.Data) -> types.Data:
   dtype = d.qpos.dtype
   g = _groups(m, [
       _ST.TOUCH, _ST.ACCELEROMETER, _ST.FORCE, _ST.TORQUE,
-      _ST.ACTUATORFRC, _ST.JOINTACTFRC, _ST.JOINTLIMITFRC,
-      _ST.TENDONLIMITFRC, _ST.FRAMELINACC, _ST.FRAMEANGACC,
+      _ST.ACTUATORFRC, _ST.JOINTACTFRC, _ST.TENDONACTFRC,
+      _ST.JOINTLIMITFRC, _ST.TENDONLIMITFRC, _ST.FRAMELINACC,
+      _ST.FRAMEANGACC,
   ])
   if not g:
     return _finish_acc(m, d)
@@ -436,6 +500,14 @@ def sensor_acc(m: types.Model, d: types.Data) -> types.Data:
       sd = _write(sd, adr, 1, d.actuator_force[objid])
     elif t == _ST.JOINTACTFRC:
       sd = _write(sd, adr, 1, d.qfrc_actuator[m.jnt_dofadr[objid]])
+    elif t == _ST.TENDONACTFRC:
+      # sum of actuator_force over tendon-transmission actuators acting
+      # on this tendon (reference: sensor.py:1598) — static match matrix
+      is_ten = (m.actuator_trntype == types.TrnType.TENDON)
+      match = (is_ten[None, :] &
+               (m.actuator_trnid[None, :, 0] == objid[:, None]))
+      vals = jnp.asarray(match, dtype) @ d.actuator_force
+      sd = _write(sd, adr, 1, vals)
     elif t in (_ST.JOINTLIMITFRC, _ST.TENDONLIMITFRC):
       kind = 'jnt' if t == _ST.JOINTLIMITFRC else 'ten'
       rows = _limit_row_for(m, kind, objid)

@@ -513,8 +513,10 @@ class Model:
 
   # ------------------------------------------------------------------ site
   site_bodyid: np.ndarray = field(static=True, default=None)
+  site_type: np.ndarray = field(static=True, default=None)  # (nsite,)
   site_pos: Array = None  # (nsite, 3)
   site_quat: Array = None  # (nsite, 4)
+  site_size: Array = None  # (nsite, 3)
 
   # ---------------------------------------------------------- camera / light
   cam_mode: np.ndarray = field(static=True, default=None)

@@ -83,3 +83,21 @@ def test_geomdist_sensors():
   assert abs(ours[0] - ref[0]) < 2e-3, f'dist {ours[0]} vs {ref[0]}'
   assert np.abs(ours[1:4] - ref[1:4]).max() < 5e-2, f'normal {ours[1:4]} vs {ref[1:4]}'
   assert np.abs(ours[4:10] - ref[4:10]).max() < 5e-3, f'fromto {ours[4:10]} vs {ref[4:10]}'
+
+
+def test_sensors2_camproj_insidesite_tendonactfrc():
+  mjm, mjd, m, d = models.fixture(
+      'sensors2.xml', qpos_noise=0.1, qvel_noise=0.3, ctrl_noise=0.5,
+      nstep=20)
+  run = jax.jit(lambda d: fwd.forward(m, d))
+  d = jax.block_until_ready(run(d))
+  ours = np.asarray(d.sensordata, np.float64)
+  fails = []
+  for s in range(mjm.nsensor):
+    adr, dim = mjm.sensor_adr[s], mjm.sensor_dim[s]
+    name = mujoco.mj_id2name(mjm, mujoco.mjtObj.mjOBJ_SENSOR, s) or f's{s}'
+    a, b = ours[adr:adr + dim], mjd.sensordata[adr:adr + dim]
+    err = np.abs(a - b).max()
+    if err > 5e-4 + 5e-3 * np.abs(b).max():
+      fails.append(f'{name}: err {err:.3e} ours={a} ref={b}')
+  assert not fails, '\n'.join(fails)
