@@ -409,6 +409,7 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32) -> types.Model:
       sensor_refid=mjm.sensor_refid.copy(),
       sensor_dim=mjm.sensor_dim.copy(),
       sensor_adr=mjm.sensor_adr.copy(),
+      sensor_intprm=mjm.sensor_intprm.copy(),
       sensor_cutoff=_jnp(mjm.sensor_cutoff, dtype),
       actuator_history=mjm.actuator_history.copy().reshape(-1, 2),
       actuator_historyadr=mjm.actuator_historyadr.copy(),

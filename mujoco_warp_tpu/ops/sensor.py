@@ -57,6 +57,34 @@ def _obj_mat(m, d, objtype, objid):
   return mat
 
 
+def _inside_site(m, d, siteid: int, points):
+  """(n,) bool: points inside the site's primitive volume.
+
+  Reference: util_misc.py:676 `inside_geom`.
+  """
+  spos = d.site_xpos[siteid]
+  smat = d.site_xmat[siteid]
+  s = m.site_size[siteid]
+  st = int(m.site_type[siteid])
+  pl = (points - spos) @ smat  # rotate into local frame
+  if st == types.GeomType.SPHERE:
+    return jnp.sum(pl * pl, -1) < s[0] * s[0]
+  if st == types.GeomType.CAPSULE:
+    zd = pl[:, 2] - jnp.clip(pl[:, 2], -s[1], s[1])
+    return pl[:, 0] ** 2 + pl[:, 1] ** 2 + zd * zd < s[0] * s[0]
+  if st == types.GeomType.ELLIPSOID:
+    ps = pl / s
+    return jnp.sum(ps * ps, -1) < 1.0
+  if st == types.GeomType.CYLINDER:
+    return (jnp.abs(pl[:, 2]) < s[1]) & (
+        pl[:, 0] ** 2 + pl[:, 1] ** 2 < s[0] * s[0])
+  if st == types.GeomType.BOX:
+    return jnp.all(jnp.abs(pl) < s, -1)
+  if st == types.GeomType.PLANE:
+    return pl[:, 2] < 0.0
+  return jnp.zeros(points.shape[:-1], bool)
+
+
 def _obj_body(m, objtype, objid):
   """Body id carrying each object (static numpy)."""
   body = np.zeros(len(objid), np.int32)
@@ -330,30 +358,9 @@ def sensor_pos(m: types.Model, d: types.Data) -> types.Data:
             m.body_subtreemass[objid] >= 1e-15)
         use_com = jnp.asarray(bsel)[:, None] & light[:, None]
         pos = jnp.where(use_com, d.subtree_com[objid], pos)
-      spos = d.site_xpos[refid]
-      smat = d.site_xmat[refid]
-      ssize = m.site_size[refid]
-      pl = jnp.einsum('nij,ni->nj', smat, pos - spos)
       inside = jnp.zeros((len(ids),), bool)
-      stype = m.site_type[refid]
       for k in range(len(ids)):
-        st = int(stype[k])
-        p, s = pl[k], ssize[k]
-        if st == types.GeomType.SPHERE:
-          ins = jnp.sum(p * p) < s[0] * s[0]
-        elif st == types.GeomType.CAPSULE:
-          zd = p[2] - jnp.clip(p[2], -s[1], s[1])
-          ins = p[0] ** 2 + p[1] ** 2 + zd * zd < s[0] * s[0]
-        elif st == types.GeomType.ELLIPSOID:
-          ps = p / s
-          ins = jnp.sum(ps * ps) < 1.0
-        elif st == types.GeomType.CYLINDER:
-          ins = (jnp.abs(p[2]) < s[1]) & (p[0] ** 2 + p[1] ** 2 <
-                                          s[0] * s[0])
-        elif st == types.GeomType.BOX:
-          ins = jnp.all(jnp.abs(p) < s)
-        else:
-          ins = jnp.asarray(False)
+        ins = _inside_site(m, d, int(refid[k]), pos[k][None])[0]
         inside = inside.at[k].set(ins)
       sd = _write(sd, adr, 1, inside.astype(dtype))
     elif t == _ST.CLOCK:
@@ -476,6 +483,151 @@ def _subtree_vel(m: types.Model, d: types.Data):
   return linvel, angmom
 
 
+def _contact_sensor(m: types.Model, d: types.Data, sd, ids):
+  """Structured contact sensor (reference: sensor.py:1809/2331).
+
+  Matching (geom/body/subtree operands) is static because the contact
+  slot table is static; only the found mask, site containment, ordering
+  criteria and field values are dynamic.  Per-sensor dataspec bits:
+  found|force|torque|dist|pos|normal|tangent; reduce: 0 none, 1 mindist,
+  2 maxforce, 3 netforce.
+  """
+  from mujoco_warp_tpu.ops import collision_driver
+  dtype = d.qpos.dtype
+  con = d.contact
+  if m.ncon == 0:
+    for s in ids:
+      adr_s, dim_s = int(m.sensor_adr[s]), int(m.sensor_dim[s])
+      sd = sd.at[adr_s:adr_s + dim_s].set(0.0)
+    return sd
+
+  cp = m.con_pair
+  _, _, _, marg, _, _ = collision_driver._mix_params(
+      m, m.pair_geom1[cp], m.pair_geom2[cp], m.pair_explicit[cp], dtype)
+  wrench = smooth._contact_forces_local(m, d)  # (ncon, 6) contact frame
+  parent = m.body_parentid
+
+  def in_subtree(body, root):
+    while body > root:
+      body = int(parent[body])
+    return body == root
+
+  def check(b, g, ot, oi):
+    if ot == 0:  # mjOBJ_UNKNOWN: matches anything
+      return True
+    if ot == _OT.SITE:
+      return True  # containment applied dynamically
+    if ot == _OT.GEOM:
+      return oi == g
+    if ot == _OT.BODY:
+      return oi == b
+    if ot == _OT.XBODY:
+      return in_subtree(b, oi)
+    return False
+
+  _FIELD_DIMS = (1, 3, 3, 1, 3, 3, 3)
+  for s in ids:
+    s = int(s)
+    ot1, oi1 = int(m.sensor_objtype[s]), int(m.sensor_objid[s])
+    ot2, oi2 = int(m.sensor_reftype[s]), int(m.sensor_refid[s])
+    dataspec = int(m.sensor_intprm[s, 0])
+    reduce = int(m.sensor_intprm[s, 1])
+    adr_s, dim_s = int(m.sensor_adr[s]), int(m.sensor_dim[s])
+    flags = [bool(dataspec & (1 << i)) for i in range(7)]
+    size = sum(dm for f, dm in zip(flags, _FIELD_DIMS) if f)
+    num = dim_s // size
+
+    # static candidate matching
+    cand, dirs = [], []
+    for k in range(m.ncon):
+      g1, g2 = int(con.geom1[k]), int(con.geom2[k])
+      b1, b2 = int(m.geom_bodyid[g1]), int(m.geom_bodyid[g2])
+      m11 = check(b1, g1, ot1, oi1)
+      m12 = check(b2, g2, ot1, oi1)
+      m21 = check(b1, g1, ot2, oi2)
+      m22 = check(b2, g2, ot2, oi2)
+      if not (m11 or m12) or not (m21 or m22):
+        continue
+      dir_k = 1.0
+      if ot1 != 0 and ot2 != 0:
+        regular, reverse = m11 and m22, m12 and m21
+        if not regular and not reverse:
+          continue
+        if reverse and not regular:
+          dir_k = -1.0
+      elif ot1 != 0:
+        dir_k = 1.0 if m11 else -1.0
+      elif ot2 != 0:
+        dir_k = 1.0 if m22 else -1.0
+      cand.append(k)
+      dirs.append(dir_k)
+
+    sd = sd.at[adr_s:adr_s + dim_s].set(0.0)
+    if not cand:
+      continue
+    kk = np.asarray(cand)
+    dirv = jnp.asarray(np.asarray(dirs), dtype)[:, None]
+    found = con.dist[kk] < marg[kk]
+    if ot1 == _OT.SITE:
+      found = found & _inside_site(m, d, oi1, con.pos[kk])
+    nmatch = jnp.sum(found.astype(dtype))
+    w = wrench[kk] * dirv  # (nc, 6) directed local wrench
+    frame = con.frame[kk]
+
+    if reduce == 3:  # netforce: force-weighted centroid wrench
+      fmask = found.astype(dtype)[:, None]
+      weight = jnp.linalg.norm(wrench[kk, :3], axis=-1,
+                               keepdims=True) * fmask
+      f_g = jnp.einsum('nij,ni->nj', frame, w[:, :3]) * fmask
+      t_g = jnp.einsum('nij,ni->nj', frame, w[:, 3:]) * fmask
+      net_pos = jnp.sum(weight * con.pos[kk], 0) / jnp.maximum(
+          jnp.sum(weight), 1e-15)
+      net_f = jnp.sum(f_g, 0)
+      net_t = (jnp.sum(t_g + jnp.cross(con.pos[kk], f_g), 0) -
+               jnp.cross(net_pos, net_f))
+      vals = [nmatch[None], net_f, net_t, jnp.zeros((1,), dtype),
+              net_pos, jnp.asarray([1.0, 0, 0], dtype),
+              jnp.asarray([0.0, 1, 0], dtype)]
+      row = jnp.concatenate([v for f, v in zip(flags, vals) if f])
+      sd = sd.at[adr_s:adr_s + size].set(row.astype(dtype))
+      continue
+
+    # build per-candidate value rows (nc, size)
+    cols = []
+    if flags[0]:
+      cols.append(jnp.broadcast_to(nmatch[None, None], (len(kk), 1)))
+    if flags[1]:
+      cols.append(jnp.stack([wrench[kk, 0], wrench[kk, 1], w[:, 2]], -1))
+    if flags[2]:
+      cols.append(jnp.stack([wrench[kk, 3], wrench[kk, 4], w[:, 5]], -1))
+    if flags[3]:
+      cols.append(con.dist[kk][:, None])
+    if flags[4]:
+      cols.append(con.pos[kk])
+    if flags[5]:
+      cols.append(frame[:, 0] * dirv)
+    if flags[6]:
+      cols.append(frame[:, 1] * dirv)
+    V = jnp.concatenate(cols, -1)
+
+    if reduce == 1:  # mindist
+      crit = con.dist[kk]
+    elif reduce == 2:  # maxforce
+      crit = -jnp.sum(wrench[kk, :3] ** 2, -1)
+    else:
+      crit = jnp.arange(len(kk), dtype=dtype)
+    crit = jnp.where(found, crit, jnp.inf)
+    order = jnp.argsort(crit)
+
+    take = min(num, len(kk))
+    rows = V[order[:take]]
+    valid = (jnp.arange(take, dtype=dtype) < nmatch)[:, None]
+    rows = rows * valid.astype(dtype)
+    sd = sd.at[adr_s:adr_s + take * size].set(
+        rows.reshape(-1).astype(dtype))
+  return sd
+
+
 def sensor_acc(m: types.Model, d: types.Data) -> types.Data:
   """Acceleration-stage sensors (reference: sensor.py:2507)."""
   if not m.nsensor or (m.opt.disableflags & types.DisableBit.SENSOR):
@@ -485,7 +637,7 @@ def sensor_acc(m: types.Model, d: types.Data) -> types.Data:
       _ST.TOUCH, _ST.ACCELEROMETER, _ST.FORCE, _ST.TORQUE,
       _ST.ACTUATORFRC, _ST.JOINTACTFRC, _ST.TENDONACTFRC,
       _ST.JOINTLIMITFRC, _ST.TENDONLIMITFRC, _ST.FRAMELINACC,
-      _ST.FRAMEANGACC,
+      _ST.FRAMEANGACC, _ST.CONTACT,
   ])
   if not g:
     return _finish_acc(m, d)
@@ -535,6 +687,8 @@ def sensor_acc(m: types.Model, d: types.Data) -> types.Data:
       rt = jnp.swapaxes(d.site_xmat[objid], -1, -2)
       val = frc if t == _ST.FORCE else trq
       sd = _write(sd, adr, 3, jnp.einsum('nij,nj->ni', rt, val))
+    elif t == _ST.CONTACT:
+      sd = _contact_sensor(m, d, sd, ids)
     elif t == _ST.TOUCH:
       # sum of normal contact forces on the site's body whose contact
       # point lies in the site zone; approximated by body match (zone test

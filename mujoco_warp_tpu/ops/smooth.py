@@ -394,10 +394,11 @@ def rne_postconstraint(m: types.Model, d: types.Data) -> types.Data:
   return d.replace(cacc=cacc, cfrc_int=cfrc_int, cfrc_ext=cfrc_ext)
 
 
-def _contact_forces(m: types.Model, d: types.Data) -> jax.Array:
-  """World-frame contact wrenches (torque, force) at each contact point.
+def _contact_forces_local(m: types.Model, d: types.Data) -> jax.Array:
+  """Contact-frame wrenches (force, torque) at each slot.
 
-  Counterpart of reference support.py:439 `contact_force` for all slots.
+  Rows [fn, ft1, ft2, tn, tt1, tt2] per slot — counterpart of reference
+  support.py:439 `contact_force` with to_world_frame=False.
   """
   dtype = d.qpos.dtype
   con = d.contact
@@ -430,12 +431,27 @@ def _contact_forces(m: types.Model, d: types.Data) -> jax.Array:
         comps.append(fric[:, i] * (rows[:, 2 * i] - rows[:, 2 * i + 1]))
       comps += [jnp.zeros_like(fn)] * (6 - dim)
       local = jnp.stack(comps, -1)
-    # rotate (force in contact frame rows) to world: f_w = frame^T f_local
-    frame = con.frame[idx]  # rows: n, t1, t2
-    f_w = jnp.einsum('nij,ni->nj', frame, local[:, :3])
-    t_w = jnp.einsum('nij,ni->nj', frame, local[:, 3:])
-    out = out.at[idx].set(jnp.concatenate([t_w, f_w], -1))
+    out = out.at[idx].set(local)
   return out
+
+
+def _contact_forces(m: types.Model, d: types.Data) -> jax.Array:
+  """World-frame contact wrenches (torque, force) at each contact point.
+
+  Counterpart of reference support.py:439 `contact_force` for all slots.
+  """
+  dtype = d.qpos.dtype
+  con = d.contact
+  ncon = m.ncon
+  out = jnp.zeros((ncon, 6), dtype)
+  if not ncon:
+    return out
+  local = _contact_forces_local(m, d)
+  # rotate (force in contact frame rows) to world: f_w = frame^T f_local
+  frame = con.frame  # rows: n, t1, t2
+  f_w = jnp.einsum('nij,ni->nj', frame, local[:, :3])
+  t_w = jnp.einsum('nij,ni->nj', frame, local[:, 3:])
+  return jnp.concatenate([t_w, f_w], -1)
 
 
 _BIGW = 1e10

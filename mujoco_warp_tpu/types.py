@@ -608,6 +608,7 @@ class Model:
   sensor_refid: np.ndarray = field(static=True, default=None)
   sensor_dim: np.ndarray = field(static=True, default=None)
   sensor_adr: np.ndarray = field(static=True, default=None)
+  sensor_intprm: np.ndarray = field(static=True, default=None)
   sensor_cutoff: Array = None  # (nsensor,)
   # history (delay) metadata — static: (nsample, interp) per channel
   actuator_history: np.ndarray = field(static=True, default=None)

@@ -101,3 +101,21 @@ def test_sensors2_camproj_insidesite_tendonactfrc():
     if err > 5e-4 + 5e-3 * np.abs(b).max():
       fails.append(f'{name}: err {err:.3e} ours={a} ref={b}')
   assert not fails, '\n'.join(fails)
+
+
+@pytest.mark.parametrize('nstep', [5, 40])
+def test_contact_sensor(nstep):
+  mjm, mjd, m, d = models.fixture('contact_sensor.xml', qvel_noise=0.1,
+                                  nstep=nstep)
+  run = jax.jit(lambda d: fwd.forward(m, d))
+  d = jax.block_until_ready(run(d))
+  ours = np.asarray(d.sensordata, np.float64)
+  fails = []
+  for s in range(mjm.nsensor):
+    adr, dim = mjm.sensor_adr[s], mjm.sensor_dim[s]
+    name = mujoco.mj_id2name(mjm, mujoco.mjtObj.mjOBJ_SENSOR, s) or f's{s}'
+    a, b = ours[adr:adr + dim], mjd.sensordata[adr:adr + dim]
+    err = np.abs(a - b).max()
+    if err > 1e-3 + 1e-2 * np.abs(b).max():
+      fails.append(f'{name}: err {err:.3e}\n  ours={a}\n  ref ={b}')
+  assert not fails, '\n'.join(fails)
