@@ -76,11 +76,12 @@ def fwd_velocity(m: types.Model, d: types.Data) -> types.Data:
   return d
 
 
-def _next_act(m, act, act_dot, dt, scale, limit: bool):
+def _next_act(m, act, act_dot, dt, scale, limit: bool, velocity=None):
   """Integrate activations (reference: forward.py:135-218 `_next_activation`).
 
   act/act_dot are (na,); per-actuator dyntype handled with static masks.
   ``scale`` scales act_dot (RK stages); ``limit`` applies actrange clamps.
+  ``velocity`` (nu,) is needed when DC motors with bristle states exist.
   """
   if not m.na:
     return act
@@ -106,7 +107,209 @@ def _next_act(m, act, act_dot, dt, scale, limit: bool):
     lim = jnp.asarray((m.actuator_actlimited[uc] & valid))
     rng = m.actuator_actrange[uc]
     new = jnp.where(lim, jnp.clip(new, rng[:, 0], rng[:, 1]), new)
+
+  # DC motor slots: exact exponential for current/bristle, clamped Euler
+  # for integral, plain Euler for slew/temperature (reference:
+  # forward.py:167-207); actrange clamps do not apply to these slots
+  for u in np.nonzero(m.actuator_dyntype == _DT.DCMOTOR)[0]:
+    u = int(u)
+    dynp_h = np.asarray(m.actuator_dynprm, np.float64)[u]
+    gp_h = np.asarray(m.actuator_gainprm, np.float64)[u]
+    dynp = m.actuator_dynprm[u]
+    bp = m.actuator_biasprm[u]
+    adr0 = int(m.actuator_actadr[u])
+    off = 0
+    sl = {}
+    for name, on in (('slew', dynp_h[7] > 0), ('int', gp_h[5] > 0),
+                     ('temp', dynp_h[2] > 0), ('brist', dynp_h[5] > 0),
+                     ('cur', dynp_h[0] > 0)):
+      sl[name] = off if on else -1
+      off += int(on)
+    for name, j in sl.items():
+      if j < 0:
+        continue
+      a0 = act[adr0 + j]
+      adot = act_dot[adr0 + j] * scale
+      if name == 'cur':
+        te = jnp.maximum(dynp[0], _MINVAL)
+        val = a0 + adot * te * (1.0 - jnp.exp(-dt / te))
+      elif name == 'brist':
+        vel = velocity[u] if velocity is not None else jnp.zeros((),
+                                                                 dtype)
+        g = _lugre_stribeck(vel, bp[3], bp[4], bp[5])
+        a = -dynp[5] * jnp.abs(vel) / jnp.maximum(g, _MINVAL)
+        exp_ah = jnp.exp(a * dt)
+        int_h = jnp.where(jnp.abs(a) > _MINVAL, (exp_ah - 1.0) / a, dt)
+        val = exp_ah * a0 + int_h * vel
+      elif name == 'int':
+        val = a0 + adot * dt
+        if dynp_h[8] > 0:
+          val = jnp.clip(val, -dynp[8], dynp[8])
+      else:  # slew / temp
+        val = a0 + adot * dt
+      new = new.at[adr0 + j].set(val)
   return new
+
+
+def _lugre_stribeck(vel, F_C, F_S, v_S):
+  ratio = vel / jnp.maximum(v_S, _MINVAL)
+  return F_C + (F_S - F_C) * jnp.exp(-ratio * ratio)
+
+
+def _dcmotor_voltage(u_ctrl, length, velocity, x_I, gp, gp_h, dtype):
+  """PID/direct input voltage (reference: util_misc.py:650).
+
+  ``gp_h`` is a host (numpy) snapshot of gainprm for static branching.
+  """
+  input_mode = int(gp_h[8])
+  if input_mode == 1:  # position mode
+    v = gp[4] * (u_ctrl - length) + gp[5] * x_I - gp[6] * velocity
+  elif input_mode > 1:  # velocity mode
+    v = gp[4] * (u_ctrl - velocity) + gp[5] * (x_I - length)
+  else:
+    v = u_ctrl
+  if gp_h[7] > 0.0:
+    v = jnp.clip(v, -gp[7], gp[7])
+  return v
+
+
+def _dcmotor_force(m, d, u, u_ctrl, act_dot, length, velocity, dtype):
+  """One DC-motor actuator: slot act_dots + force.
+
+  Reference: forward.py:815 (act_dot), :930/:981 (actearly ctrl_act +
+  gain), :1021 (cogging + LuGre forces).  The slot layout is static
+  (host param inspection); state updates write into ``act_dot``.
+  """
+  # host snapshots taken from the whole (concrete, closure-captured)
+  # arrays — indexing first would create tracers under jit
+  dynp_h = np.asarray(m.actuator_dynprm, np.float64)[u]
+  gp_h = np.asarray(m.actuator_gainprm, np.float64)[u]
+  dynp = m.actuator_dynprm[u]
+  gp = m.actuator_gainprm[u]
+  bp = m.actuator_biasprm[u]
+  input_mode = int(gp_h[8])
+
+  # static slot layout
+  s_slew = s_int = s_temp = s_brist = s_cur = -1
+  n = 0
+  if dynp_h[7] > 0:
+    s_slew, n = n, n + 1
+  if gp_h[5] > 0:
+    s_int, n = n, n + 1
+  if dynp_h[2] > 0:
+    s_temp, n = n, n + 1
+  if dynp_h[5] > 0:
+    s_brist, n = n, n + 1
+  if dynp_h[0] > 0:
+    s_cur, n = n, n + 1
+
+  adr0 = int(m.actuator_actadr[u])
+  lasta = adr0 + n - 1
+  h = m.opt.timestep.astype(dtype)
+  R = gp[0]
+  K = gp[1]
+
+  # slew rate: effective control follows a rate-limited previous input
+  if s_slew >= 0:
+    u_prev = d.act[adr0 + s_slew]
+    slew = dynp[7] * h
+    u_eff = jnp.clip(u_ctrl, u_prev - slew, u_prev + slew)
+    act_dot = act_dot.at[adr0 + s_slew].set((u_eff - u_prev) / h)
+    u_ctrl = u_eff
+
+  # integral state with anti-windup
+  x_I = jnp.zeros((), dtype)
+  if s_int >= 0:
+    x_I = d.act[adr0 + s_int]
+    adot = u_ctrl - length if input_mode == 1 else u_ctrl
+    if dynp_h[8] > 0:
+      adot = jnp.where(x_I >= dynp[8], jnp.minimum(adot, 0.0), adot)
+      adot = jnp.where(x_I <= -dynp[8], jnp.maximum(adot, 0.0), adot)
+    act_dot = act_dot.at[adr0 + s_int].set(adot)
+
+  V = _dcmotor_voltage(u_ctrl, length, velocity, x_I, gp, gp_h, dtype)
+
+  # temperature: winding resistance grows with T; T follows Joule heating
+  if s_temp >= 0:
+    T = d.act[adr0 + s_temp]
+    R_eff = R * (1.0 + gp[2] * (T + dynp[4] - gp[3]))
+    if s_cur >= 0:
+      cur = d.act[lasta]
+    else:
+      cur = (V - K * velocity) / R_eff
+    act_dot = act_dot.at[adr0 + s_temp].set(
+        (R_eff * cur * cur - T / dynp[2]) / dynp[3])
+    R = R_eff
+
+  # bristle (LuGre) state
+  z_dot = None
+  if s_brist >= 0:
+    z = d.act[adr0 + s_brist]
+    g = _lugre_stribeck(velocity, bp[3], bp[4], bp[5])
+    a = -dynp[5] * jnp.abs(velocity) / jnp.maximum(g, _MINVAL)
+    z_dot = a * z + velocity
+    act_dot = act_dot.at[adr0 + s_brist].set(z_dot)
+
+  # electrical current with optional di/dt limit
+  if s_cur >= 0:
+    te = jnp.maximum(dynp[0], _MINVAL)
+    adot = (V / R - (K / R) * velocity - d.act[lasta]) / te
+    if dynp_h[1] > 0:
+      adot = jnp.clip(adot, -dynp[1], dynp[1])
+    act_dot = act_dot.at[lasta].set(adot)
+
+  # ---- gain & effective input (actearly is mandatory for DC motors)
+  te_pos = dynp_h[0] > 0.0
+  if te_pos:
+    gain = K
+    # advance the last slot one step (exact exponential for current)
+    act = d.act[lasta]
+    adot_last = act_dot[lasta]
+    off = n - 1
+    if off == s_cur:
+      te = jnp.maximum(dynp[0], _MINVAL)
+      ctrl_act = act + adot_last * te * (1.0 - jnp.exp(-h / te))
+    elif off == s_brist:
+      g = _lugre_stribeck(velocity, bp[3], bp[4], bp[5])
+      a = -dynp[5] * jnp.abs(velocity) / jnp.maximum(g, _MINVAL)
+      exp_ah = jnp.exp(a * h)
+      int_h = jnp.where(jnp.abs(a) > _MINVAL, (exp_ah - 1.0) / a, h)
+      ctrl_act = exp_ah * act + int_h * velocity
+    elif off == s_int:
+      ctrl_act = act + adot_last * h
+      if dynp_h[8] > 0:
+        ctrl_act = jnp.clip(ctrl_act, -dynp[8], dynp[8])
+    else:
+      ctrl_act = act + adot_last * h
+    if m.actuator_actlimited[u]:
+      ctrl_act = jnp.clip(ctrl_act, m.actuator_actrange[u, 0],
+                          m.actuator_actrange[u, 1])
+  else:
+    gain = K / jnp.maximum(R, _MINVAL)
+    if input_mode > 0:
+      ctrl_act = _dcmotor_voltage(u_ctrl, length, velocity, x_I, gp,
+                                  gp_h, dtype)
+    else:
+      ctrl_act = u_ctrl
+
+  bias = jnp.zeros((), dtype)
+  if int(m.actuator_biastype[u]) == _BT.DCMOTOR and not te_pos:
+    bias = -gain * K * velocity  # back-EMF
+
+  f = gain * ctrl_act + bias
+  if m.actuator_forcelimited[u]:
+    f = jnp.clip(f, m.actuator_forcerange[u, 0],
+                 m.actuator_forcerange[u, 1])
+
+  # mechanical forces outside the current/force limits
+  if int(m.actuator_biastype[u]) == _BT.DCMOTOR:
+    bp_h = np.asarray(m.actuator_biasprm, np.float64)[u]
+    if bp_h[0] != 0.0:  # cogging torque
+      f = f + bp[0] * jnp.sin(bp[1] * length + bp[2])
+    if s_brist >= 0:  # LuGre friction
+      f = f - dynp[5] * d.act[adr0 + s_brist] - dynp[6] * z_dot
+
+  return f.astype(dtype), act_dot
 
 
 def fwd_actuation(m: types.Model, d: types.Data) -> types.Data:
@@ -193,6 +396,16 @@ def fwd_actuation(m: types.Model, d: types.Data) -> types.Data:
                       jnp.clip(force, m.actuator_forcerange[:, 0],
                                m.actuator_forcerange[:, 1]), force)
 
+  # ---- DC motor actuators (reference: forward.py:815/981/1021,
+  # util_misc.py:604).  Slot layout (slew/integral/temperature/bristle/
+  # current) is static per actuator; each motor is patched individually.
+  dc_ids = np.nonzero(m.actuator_dyntype == _DT.DCMOTOR)[0]
+  for u in dc_ids:
+    u = int(u)
+    f_u, act_dot = _dcmotor_force(m, d, u, ctrl[u], act_dot, length[u],
+                                  velocity[u], dtype)
+    force = force.at[u].set(f_u)
+
   # tendon total actuator-force clamp (reference: forward.py:1057-1098)
   if m.ntendon and np.any(m.tendon_actfrclimited):
     is_ten = m.actuator_trntype == types.TrnType.TENDON
@@ -276,7 +489,8 @@ def _advance(m: types.Model, d: types.Data, qacc,
   """Integrate state by one timestep (reference: forward.py:276)."""
   dtype = d.qpos.dtype
   dt = m.opt.timestep.astype(dtype)
-  act = _next_act(m, d.act, d.act_dot, dt, 1.0, True)
+  act = _next_act(m, d.act, d.act_dot, dt, 1.0, True,
+                  velocity=d.actuator_velocity)
   qvel_new = d.qvel + dt * qacc
   qvel_for_pos = qvel_new if qvel is None else qvel
   qpos = _next_position(m, d.qpos, qvel_for_pos, dt)
@@ -319,7 +533,8 @@ def rungekutta4(m: types.Model, d: types.Data) -> types.Data:
   for i in range(3):
     qpos_i = _next_position(m, qpos_t0, dd.qvel, A[i] * dt)
     qvel_i = qvel_t0 + A[i] * dt * dd.qacc
-    act_i = _next_act(m, act_t0, dd.act_dot, dt, A[i], False)
+    act_i = _next_act(m, act_t0, dd.act_dot, dt, A[i], False,
+                      velocity=dd.actuator_velocity)
     dd = dd.replace(qpos=qpos_i, qvel=qvel_i, act=act_i)
     dd = _forward(m, dd)
     qvel_rk = qvel_rk + B[i + 1] * dd.qvel

@@ -106,3 +106,25 @@ class TestStep:
                  rtol=tol)
     assert_close(d.qvel, mjd.qvel, f'{fname} qvel@{nsteps}', atol=10 * tol,
                  rtol=10 * tol)
+
+
+def test_dcmotor_stepping():
+  """DC motors (current/direct/full slot models) track mj_step.
+
+  Reference behavior: forward.py:167/815/981/1021, util_misc.py:604.
+  """
+  import jax
+  import jax.numpy as jnp
+
+  mjm, mjd, m, d = models.fixture('dcmotor.xml')
+  mjd.ctrl[:] = [0.6, -0.4, 0.25]
+  d = d.replace(ctrl=jnp.asarray(np.asarray(mjd.ctrl), d.qpos.dtype))
+  step = jax.jit(lambda d: fwd.step(m, d))
+  for i in range(50):
+    mujoco.mj_step(mjm, mjd)
+    d = step(d)
+    np.testing.assert_allclose(np.asarray(d.act), mjd.act, atol=2e-3,
+                               err_msg=f'act step {i}')
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=2e-3)
+  np.testing.assert_allclose(np.asarray(d.actuator_force),
+                             mjd.actuator_force, atol=5e-3)
