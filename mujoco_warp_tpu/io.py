@@ -422,6 +422,12 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32) -> types.Model:
       mesh_vert=np.asarray(mjm.mesh_vert, np.float32).reshape(-1, 3),
       mesh_vertadr=mjm.mesh_vertadr.copy(),
       mesh_vertnum=mjm.mesh_vertnum.copy(),
+      # heightfield
+      hfield_adr=mjm.hfield_adr.copy(),
+      hfield_nrow=mjm.hfield_nrow.copy(),
+      hfield_ncol=mjm.hfield_ncol.copy(),
+      hfield_size=_jnp(mjm.hfield_size.reshape(-1, 4), dtype),
+      hfield_data=_jnp(mjm.hfield_data, dtype),
       # collision tables
       pair_geom1=pairs.pair_geom1,
       pair_geom2=pairs.pair_geom2,

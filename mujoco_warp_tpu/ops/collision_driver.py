@@ -102,13 +102,15 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
 
   # validate support and group by type pair; pairs without an analytic
   # collider fall back to the generic convex (MPR) path
-  from mujoco_warp_tpu.ops import collision_convex
+  from mujoco_warp_tpu.ops import collision_convex, collision_hfield
   keys = []
   for a, b in zip(g1c, g2c):
     key = (int(mjm.geom_type[a]), int(mjm.geom_type[b]))
     if key not in collision_primitive.PAIR_NCON:
-      if not (key[0] in collision_convex.CONVEX_TYPES and
-              key[1] in collision_convex.CONVEX_TYPES):
+      is_hf = (key[0] == types.GeomType.HFIELD and
+               key[1] in collision_hfield.HFIELD_NCON)
+      if not is_hf and not (key[0] in collision_convex.CONVEX_TYPES and
+                            key[1] in collision_convex.CONVEX_TYPES):
         raise NotImplementedError(
             f'collision pair {(_GT(key[0]).name, _GT(key[1]).name)} '
             'is not supported yet')
@@ -144,7 +146,10 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
     j = i
     while j < len(keys) and keys[j] == keys[i]:
       j += 1
-    k = collision_primitive.PAIR_NCON.get(keys[i], 1)  # convex MPR: 1
+    if keys[i][0] == types.GeomType.HFIELD:
+      k = collision_hfield.HFIELD_NCON[types.GeomType(keys[i][1])]
+    else:
+      k = collision_primitive.PAIR_NCON.get(keys[i], 1)  # convex MPR: 1
     idx = np.arange(i, j, dtype=np.int32)
     groups.append((keys[i][0], keys[i][1], idx, slot))
     # slot layout per group: contact-point-major (k, npairs) flattened
@@ -244,11 +249,14 @@ def collision(m: types.Model, d: types.Data) -> types.Data:
   dist_slots = []
   pos_slots = []
   frame_slots = []
-  from mujoco_warp_tpu.ops import collision_convex
+  from mujoco_warp_tpu.ops import collision_convex, collision_hfield
   for (t1, t2, idx, slot) in m.pair_groups:
     fn = collision_primitive.COLLIDERS.get((t1, t2))
     if fn is None:
-      fn = collision_convex.make_convex_collider(int(t1), int(t2))
+      if t1 == types.GeomType.HFIELD:
+        fn = collision_hfield.make_hfield_collider(int(t2))
+      else:
+        fn = collision_convex.make_convex_collider(int(t1), int(t2))
     g1 = m.pair_geom1[idx]
     g2 = m.pair_geom2[idx]
     dist, pos, normal = fn(m, d, g1, g2)  # (k, n), (k, n, 3), (k, n, 3)

@@ -624,6 +624,13 @@ class Model:
   mesh_vertadr: np.ndarray = field(static=True, default=None)
   mesh_vertnum: np.ndarray = field(static=True, default=None)
 
+  # ----------------------------------------------------------- heightfield
+  hfield_adr: np.ndarray = field(static=True, default=None)  # (nhfield,)
+  hfield_nrow: np.ndarray = field(static=True, default=None)  # (nhfield,)
+  hfield_ncol: np.ndarray = field(static=True, default=None)  # (nhfield,)
+  hfield_size: Array = None  # (nhfield, 4) x y ztop zbottom
+  hfield_data: Array = None  # (nhfielddata,) normalized heights [0, 1]
+
   # ------------------------------------------------------- collision tables
   # static candidate geom pairs after contype/conaffinity + parent filtering
   # (reference: io.py nxn pair precompute; collision_driver.py:47)
