@@ -422,6 +422,9 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32) -> types.Model:
       mesh_vert=np.asarray(mjm.mesh_vert, np.float32).reshape(-1, 3),
       mesh_vertadr=mjm.mesh_vertadr.copy(),
       mesh_vertnum=mjm.mesh_vertnum.copy(),
+      mesh_face=np.asarray(mjm.mesh_face, np.int32).reshape(-1, 3),
+      mesh_faceadr=mjm.mesh_faceadr.copy(),
+      mesh_facenum=mjm.mesh_facenum.copy(),
       # heightfield
       hfield_adr=mjm.hfield_adr.copy(),
       hfield_nrow=mjm.hfield_nrow.copy(),

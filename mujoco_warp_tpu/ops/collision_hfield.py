@@ -30,6 +30,7 @@ HFIELD_NCON = {
     _GT.CAPSULE: 3,
     _GT.CYLINDER: 3,
     _GT.BOX: 4,
+    _GT.MESH: 4,
 }
 
 
@@ -141,11 +142,18 @@ def make_hfield_collider(t2: int):
         pts = p[None] + jnp.einsum('ij,nj->ni', R,
                                    corners.astype(dtype) * s[None])
         r_eff = jnp.zeros((8,), dtype)
+      elif t2 == _GT.MESH:
+        mid = int(m.geom_dataid[ge])
+        vadr = int(m.mesh_vertadr[mid])
+        vnum = int(m.mesh_vertnum[mid])
+        verts = jnp.asarray(m.mesh_vert[vadr:vadr + vnum], dtype)
+        pts = p[None] + jnp.einsum('ij,nj->ni', R, verts)
+        r_eff = jnp.zeros((vnum,), dtype)
       else:
         raise NotImplementedError(f'hfield vs {t2}')
 
       dist, pos, nrm = _point_contacts(m, dataid, pts, r_eff)
-      if t2 == _GT.BOX:  # keep the 4 deepest corners
+      if t2 in (_GT.BOX, _GT.MESH):  # keep the 4 deepest vertices
         order = jnp.argsort(dist)[:4]
         dist, pos, nrm = dist[order], pos[order], nrm[order]
       # back to world frame

@@ -129,6 +129,57 @@ def _ray_box(lp, lv, size):
   return t_best
 
 
+def _ray_triangles(lp, lv, v0, v1, v2):
+  """Möller–Trumbore over a static triangle soup; min hit t per ray.
+
+  lp/lv (..., 3) local rays; v0/v1/v2 (T, 3).  The TPU replacement for
+  the reference's per-triangle BVH walk (ray.py mesh/hfield): a dense
+  (rays × triangles) intersection that XLA vectorizes.
+  """
+  e1 = v1 - v0
+  e2 = v2 - v0
+  h = jnp.cross(lv[..., None, :], e2)          # (..., T, 3)
+  a = jnp.sum(e1 * h, -1)
+  f = 1.0 / jnp.where(jnp.abs(a) > 1e-12, a, 1e-12)
+  s = lp[..., None, :] - v0
+  u = f * jnp.sum(s * h, -1)
+  q = jnp.cross(s, e1)
+  v = f * jnp.sum(lv[..., None, :] * q, -1)
+  t = f * jnp.sum(e2 * q, -1)
+  ok = ((jnp.abs(a) > 1e-12) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) &
+        (u + v <= 1.0) & (t >= 0.0))
+  return jnp.min(jnp.where(ok, t, _INF), axis=-1)
+
+
+def _hfield_tris(m: types.Model, dataid: int, dtype):
+  """Surface triangles of a heightfield for ray casting.
+
+  Note: mj_ray splits cells along the (r,c)-(r+1,c+1) diagonal — the
+  OPPOSITE of the collision prisms' split — and we mirror each exactly
+  (verified against mj_ray).
+  """
+  nrow = int(m.hfield_nrow[dataid])
+  ncol = int(m.hfield_ncol[dataid])
+  adr = int(m.hfield_adr[dataid])
+  size = m.hfield_size[dataid]
+  z = m.hfield_data[adr:adr + nrow * ncol].reshape(nrow, ncol) * size[2]
+  xs = jnp.linspace(-1.0, 1.0, ncol, dtype=dtype) * size[0]
+  ys = jnp.linspace(-1.0, 1.0, nrow, dtype=dtype) * size[1]
+  X, Y = jnp.meshgrid(xs, ys)  # (nrow, ncol)
+  V = jnp.stack([X, Y, z.astype(dtype)], -1).reshape(-1, 3)
+  idx = []
+  for r in range(nrow - 1):
+    for c in range(ncol - 1):
+      i00 = r * ncol + c
+      i01 = r * ncol + c + 1
+      i10 = (r + 1) * ncol + c
+      i11 = (r + 1) * ncol + c + 1
+      idx.append((i00, i01, i11))
+      idx.append((i00, i11, i10))
+  idx = np.asarray(idx, np.int32)
+  return V[idx[:, 0]], V[idx[:, 1]], V[idx[:, 2]]
+
+
 def rays(m: types.Model, d: types.Data, pnt: jax.Array, vec: jax.Array,
          geomgroup=None, flg_static: bool = True,
          bodyexclude: int = -1):
@@ -159,6 +210,25 @@ def rays(m: types.Model, d: types.Data, pnt: jax.Array, vec: jax.Array,
     if len(ids):
       t_all = t_all.at[:, ids].set(
           jnp.stack([fn(int(i)) for i in ids], axis=-1))
+
+  # triangle-soup geoms: meshes and heightfields
+  for i in np.nonzero(gt == _GT.MESH)[0]:
+    i = int(i)
+    did = int(m.geom_dataid[i])
+    fadr, fnum = int(m.mesh_faceadr[did]), int(m.mesh_facenum[did])
+    vadr = int(m.mesh_vertadr[did])
+    faces = m.mesh_face[fadr:fadr + fnum]
+    verts = m.mesh_vert[vadr:vadr + int(m.mesh_vertnum[did])]
+    v0 = jnp.asarray(verts[faces[:, 0]], dtype)
+    v1 = jnp.asarray(verts[faces[:, 1]], dtype)
+    v2 = jnp.asarray(verts[faces[:, 2]], dtype)
+    t_all = t_all.at[:, i].set(_ray_triangles(lp[:, i], lv[:, i],
+                                              v0, v1, v2))
+  for i in np.nonzero(gt == _GT.HFIELD)[0]:
+    i = int(i)
+    v0, v1, v2 = _hfield_tris(m, int(m.geom_dataid[i]), dtype)
+    t_all = t_all.at[:, i].set(_ray_triangles(lp[:, i], lv[:, i],
+                                              v0, v1, v2))
 
   # filtering: static bodies, body exclusion, geom groups
   mask = np.ones(G, bool)

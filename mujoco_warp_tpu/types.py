@@ -623,6 +623,9 @@ class Model:
   mesh_vert: np.ndarray = field(static=True, default=None)  # (nmeshvert, 3)
   mesh_vertadr: np.ndarray = field(static=True, default=None)
   mesh_vertnum: np.ndarray = field(static=True, default=None)
+  mesh_face: np.ndarray = field(static=True, default=None)  # (nmeshface, 3)
+  mesh_faceadr: np.ndarray = field(static=True, default=None)
+  mesh_facenum: np.ndarray = field(static=True, default=None)
 
   # ----------------------------------------------------------- heightfield
   hfield_adr: np.ndarray = field(static=True, default=None)  # (nhfield,)
