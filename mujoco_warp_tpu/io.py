@@ -253,6 +253,7 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32) -> types.Model:
       # body
       body_parentid=mjm.body_parentid.copy(),
       body_rootid=mjm.body_rootid.copy(),
+      ntree=int(mjm.ntree),
       body_weldid=mjm.body_weldid.copy(),
       body_mocapid=mjm.body_mocapid.copy(),
       body_jntadr=mjm.body_jntadr.copy(),
@@ -527,6 +528,10 @@ def _empty_data(m: types.Model, dtype=np.float32) -> types.Data:
       nl_active=jnp.zeros((), jnp.int32),
       ncon_active=jnp.zeros((), jnp.int32),
       nefc_active=jnp.zeros((), jnp.int32),
+      nisland=jnp.zeros((), jnp.int32),
+      tree_island=jnp.full((m.ntree,), -1, jnp.int32),
+      dof_island=jnp.full((m.nv,), -1, jnp.int32),
+      efc_island=jnp.full((m.nefc,), -1, jnp.int32),
       history=z(m.nhistory),
       solver_niter=jnp.zeros((), jnp.int32),
       overflow=jnp.zeros((), jnp.int32),

@@ -19,6 +19,7 @@ import numpy as np
 from mujoco_warp_tpu import types
 from mujoco_warp_tpu.ops import actuation as act_ops
 from mujoco_warp_tpu.ops import collision_driver, constraint, history
+from mujoco_warp_tpu.ops import island
 from mujoco_warp_tpu.ops import math, passive, sensor, smooth, solver
 from mujoco_warp_tpu.ops import support
 
@@ -60,6 +61,7 @@ def fwd_position(m: types.Model, d: types.Data,
   if m.opt.run_collision_detection:
     d = collision_driver.collision(m, d)
   d = constraint.make_constraint(m, d)
+  d = island.island(m, d)
   d = smooth.transmission(m, d)
   return d
 

@@ -444,6 +444,7 @@ class Model:
   # ------------------------------------------------------------------ body
   body_parentid: np.ndarray = field(static=True, default=None)
   body_rootid: np.ndarray = field(static=True, default=None)
+  ntree: int = field(static=True, default=0)
   body_weldid: np.ndarray = field(static=True, default=None)
   body_mocapid: np.ndarray = field(static=True, default=None)
   body_jntadr: np.ndarray = field(static=True, default=None)
@@ -746,6 +747,12 @@ class Data:
   nl_active: Array = None  # ()
   ncon_active: Array = None  # ()
   nefc_active: Array = None  # ()
+
+  # ----------------------------------------------------------------- islands
+  nisland: Array = None  # () int32
+  tree_island: Array = None  # (ntree,) int32, -1 = unconstrained
+  dof_island: Array = None  # (nv,) int32
+  efc_island: Array = None  # (nefc,) int32
 
   # -------------------------------------------------- post-constraint (RNE)
   cacc: Array = None  # (nbody, 6) com-frame acceleration
