@@ -280,8 +280,26 @@ def mpr(t1: int, t2: int, pos1, mat1, size1, pos2, mat2, size2,
   return hit & (depth >= 0), depth, nrm, point
 
 
+# flat-capable types produce face-face contact manifolds (4 points);
+# curved pairs keep a single contact (reference: collision_gjk.py
+# `multicontact` — full polygon clipping; here perturbed supports)
+_FLAT = (_GT.CYLINDER, _GT.BOX, _GT.MESH)
+
+
+def convex_ncon(t1: int, t2: int) -> int:
+  return 4 if (t1 in _FLAT and t2 in _FLAT) else 1
+
+
 def make_convex_collider(t1: int, t2: int):
-  """Collider fn with the standard (m, d, g1, g2) signature."""
+  """Collider fn with the standard (m, d, g1, g2) signature.
+
+  Flat-capable pairs return a 4-point manifold: after MPR finds the
+  contact normal n, the supports of both faces are probed along n tilted
+  into the four tangent quadrants — for face-face contact this lands on
+  the face corners (per-point depths along the true normal), the
+  fixed-shape analog of the reference's polygon-clipping multicontact.
+  """
+  k = convex_ncon(t1, t2)
 
   def collider(m, d, g1, g2):
     pos1, mat1, size1 = d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1]
@@ -300,6 +318,26 @@ def make_convex_collider(t1: int, t2: int):
         t1, t2, pos1, mat1, size1, pos2, mat2, size2, inflate, mesh1,
         mesh2)
     dist = jnp.where(hit, -depth + margin, _BIG)
-    return dist[None], point[None], normal[None]
+    if k == 1:
+      return dist[None], point[None], normal[None]
+
+    # ---- 4-point manifold via quadrant-perturbed supports
+    from mujoco_warp_tpu.ops import math as math_ops
+    S = _make_support(t1, t2, mesh1, mesh2)
+    frame = math_ops.make_frame(normal)  # rows: n, t1, t2
+    tan1, tan2 = frame[:, 1], frame[:, 2]
+    no_inf = jnp.zeros_like(inflate)
+    eps = 1e-2
+    dists, points = [], []
+    for s1, s2 in ((1, 1), (1, -1), (-1, 1), (-1, -1)):
+      dpert = normal + eps * (s1 * tan1 + s2 * tan2)
+      _, a, b = S(dpert, pos1, mat1, size1, pos2, mat2, size2, no_inf)
+      di = jnp.sum(normal * (b - a), axis=-1)  # <0 when penetrating
+      dists.append(jnp.where(hit, di, _BIG))
+      points.append(0.5 * (a + b))
+    dist4 = jnp.stack(dists)           # (4, n)
+    pos4 = jnp.stack(points)           # (4, n, 3)
+    nrm4 = jnp.broadcast_to(normal[None], pos4.shape)
+    return dist4, pos4, nrm4
 
   return collider

@@ -148,8 +148,10 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
       j += 1
     if keys[i][0] == types.GeomType.HFIELD:
       k = collision_hfield.HFIELD_NCON[types.GeomType(keys[i][1])]
-    else:
-      k = collision_primitive.PAIR_NCON.get(keys[i], 1)  # convex MPR: 1
+    elif keys[i] in collision_primitive.PAIR_NCON:
+      k = collision_primitive.PAIR_NCON[keys[i]]
+    else:  # convex MPR: 4-point manifold for flat-flat pairs
+      k = collision_convex.convex_ncon(*keys[i])
     idx = np.arange(i, j, dtype=np.int32)
     groups.append((keys[i][0], keys[i][1], idx, slot))
     # slot layout per group: contact-point-major (k, npairs) flattened

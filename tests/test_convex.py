@@ -121,3 +121,64 @@ def test_convex_trajectory():
   zs_ref = mjd.qpos[2::7]
   assert np.all(zs_ours > -0.05)
   np.testing.assert_allclose(zs_ours, zs_ref, atol=0.08)
+
+
+def test_mesh_mesh_manifold_stability():
+  """4-point manifolds keep a mesh cube resting flat on a mesh slab.
+
+  Counterpart of reference multicontact (collision_gjk.py): a single
+  contact point cannot support a resting face; the manifold must find
+  the face corners.
+  """
+  import jax
+  import mujoco
+  import numpy as np
+  from mujoco_warp_tpu import io
+  from mujoco_warp_tpu.ops import forward as fwd
+
+  xml = """
+  <mujoco>
+    <option timestep="0.002"/>
+    <asset>
+      <mesh name="slab" vertex="-1 -1 -0.1  1 -1 -0.1  1 1 -0.1  -1 1 -0.1
+                                -1 -1 0.1   1 -1 0.1   1 1 0.1   -1 1 0.1"/>
+      <mesh name="cube" vertex="-0.1 -0.1 -0.1  0.1 -0.1 -0.1
+                                 0.1 0.1 -0.1  -0.1 0.1 -0.1
+                                -0.1 -0.1 0.1   0.1 -0.1 0.1
+                                 0.1 0.1 0.1   -0.1 0.1 0.1"/>
+    </asset>
+    <worldbody>
+      <geom type="mesh" mesh="slab" pos="0 0 0"/>
+      <body pos="0 0 0.22">
+        <freejoint/>
+        <geom type="mesh" mesh="cube"/>
+      </body>
+    </worldbody>
+  </mujoco>
+  """
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_forward(mjm, mjd)
+  m = io.put_model(mjm)
+  d = io.put_data(mjm, mjd, m)
+
+  # manifold sanity at first touch: 4 penetrating contacts at the corners
+  d0 = d.replace(qpos=d.qpos.at[2].set(0.198))
+  d0 = jax.jit(lambda d: fwd.fwd_position(m, d))(d0)
+  con = d0.contact
+  active = np.asarray(con.dist) < np.asarray(con.includemargin)
+  assert active.sum() == 4
+  pts = np.asarray(con.pos)[active]
+  assert np.ptp(pts[:, 0]) > 0.15 and np.ptp(pts[:, 1]) > 0.15, \
+      f'manifold did not spread to the corners: {pts}'
+
+  # stability: drop and settle; cube must stay upright at rest height
+  step = jax.jit(lambda d: fwd.step(m, d))
+  for _ in range(500):
+    d = step(d)
+  qpos = np.asarray(d.qpos)
+  assert abs(qpos[2] - 0.2) < 0.01, f'rest height {qpos[2]}'
+  # quaternion stays near identity (no tipping)
+  assert abs(qpos[3]) > 0.99, f'cube tipped: quat {qpos[3:7]}'
+  qvel = np.asarray(d.qvel)
+  assert np.abs(qvel).max() < 0.05, f'still moving: {qvel}'
