@@ -269,18 +269,18 @@ def sensor_pos(m: types.Model, d: types.Data) -> types.Data:
       sd = _write(sd, adr, 3,
                   jnp.einsum('nji,j->ni', mat, b))
     elif t in (_ST.GEOMDIST, _ST.GEOMNORMAL, _ST.GEOMFROMTO):
-      # signed distance between two geoms (mj_geomDistance semantics):
-      # runs the pair's narrowphase; distance capped at the sensor cutoff
+      # signed distance between two geoms or bodies (mj_geomDistance
+      # semantics); body operands take the min over all geom pairs
       from mujoco_warp_tpu.ops import collision_convex, collision_primitive
-      vals = []
-      for k, s in enumerate(ids):
-        g1 = int(m.sensor_objid[s])
-        g2 = int(m.sensor_refid[s])
-        if (int(m.sensor_objtype[s]) != _OT.GEOM or
-            int(m.sensor_reftype[s]) != _OT.GEOM):
-          raise NotImplementedError(
-              'geomdist sensors support geom-geom pairs (body operands '
-              'pending)')
+
+      def _operand_geoms(ot, oi):
+        if ot == _OT.GEOM:
+          return [oi]
+        if ot in (_OT.BODY, _OT.XBODY):
+          return [int(g) for g in np.nonzero(m.geom_bodyid == oi)[0]]
+        raise NotImplementedError(f'geomdist operand objtype {ot}')
+
+      def _pair_dist(g1, g2):
         t1, t2 = int(m.geom_type[g1]), int(m.geom_type[g2])
         swap = t1 > t2
         if swap:
@@ -288,23 +288,36 @@ def sensor_pos(m: types.Model, d: types.Data) -> types.Data:
         fn = collision_primitive.COLLIDERS.get((t1, t2))
         if fn is None:
           fn = collision_convex.make_convex_collider(t1, t2)
-        ga = np.asarray([g1])
-        gb = np.asarray([g2])
-        dist_k, pos_k, n_k = fn(m, d, ga, gb)
+        dist_k, pos_k, n_k = fn(m, d, np.asarray([g1]), np.asarray([g2]))
         best = jnp.argmin(dist_k[:, 0])
+        sgn = -1.0 if swap else 1.0
+        return dist_k[best, 0], pos_k[best, 0], n_k[best, 0] * sgn
+
+      vals = []
+      for k, s in enumerate(ids):
+        gs1 = _operand_geoms(int(m.sensor_objtype[s]),
+                             int(m.sensor_objid[s]))
+        gs2 = _operand_geoms(int(m.sensor_reftype[s]),
+                             int(m.sensor_refid[s]))
+        cands = [_pair_dist(a, b) for a in gs1 for b in gs2]
+        dists = jnp.stack([c[0] for c in cands])
+        poss = jnp.stack([c[1] for c in cands])
+        nrms = jnp.stack([c[2] for c in cands])
+        best = jnp.argmin(dists)
+        raw = dists[best]
         cutoff = m.sensor_cutoff[s]
-        dist = jnp.minimum(dist_k[best, 0], cutoff)
-        normal = n_k[best, 0] * jnp.where(jnp.asarray(swap), -1.0, 1.0)
-        pos = pos_k[best, 0]
+        dist = jnp.minimum(raw, cutoff)
+        normal = nrms[best]
+        pos = poss[best]
         if t == _ST.GEOMDIST:
           vals.append(dist[None])
         elif t == _ST.GEOMNORMAL:
-          vals.append(jnp.where(dist_k[best, 0] < cutoff, normal,
+          vals.append(jnp.where(raw < cutoff, normal,
                                 jnp.zeros(3, dtype)))
         else:  # GEOMFROMTO: segment between surface points
           p_from = pos - 0.5 * dist * normal
           p_to = pos + 0.5 * dist * normal
-          hit = dist_k[best, 0] < cutoff
+          hit = raw < cutoff
           seg = jnp.where(hit, jnp.concatenate([p_from, p_to]),
                           jnp.zeros(6, dtype))
           vals.append(seg)

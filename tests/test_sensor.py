@@ -119,3 +119,35 @@ def test_contact_sensor(nstep):
     if err > 1e-3 + 1e-2 * np.abs(b).max():
       fails.append(f'{name}: err {err:.3e}\n  ours={a}\n  ref ={b}')
   assert not fails, '\n'.join(fails)
+
+
+def test_geomdist_body_operands():
+  import tempfile, os as _os
+  xml = """
+<mujoco>
+  <worldbody>
+    <body name="b1" pos="0 0 1"><joint type="slide" axis="1 0 0"/>
+      <geom name="g1a" type="sphere" size="0.1" contype="0" conaffinity="0"/>
+      <geom name="g1b" type="sphere" size="0.05" pos="0.2 0 0" contype="0" conaffinity="0"/></body>
+    <body name="b2" pos="0.6 0.05 1.02"><joint type="slide" axis="0 1 0"/>
+      <geom name="g2a" type="capsule" size="0.06 0.1" euler="30 0 0" contype="0" conaffinity="0"/>
+      <geom name="g2b" type="box" size="0.05 0.05 0.05" pos="0 0.3 0" contype="0" conaffinity="0"/></body>
+  </worldbody>
+  <sensor>
+    <distance body1="b1" body2="b2" cutoff="3"/>
+    <distance body1="b1" geom2="g2b" cutoff="3"/>
+    <normal body1="b1" body2="b2" cutoff="3"/>
+  </sensor>
+</mujoco>"""
+  with tempfile.NamedTemporaryFile('w', suffix='.xml', delete=False) as f:
+    f.write(xml)
+    path = f.name
+  mjm, mjd, m, d = models.fixture(path, qpos_noise=0.05)
+  _os.unlink(path)
+  out = jax.jit(lambda d: fwd.forward(m, d))(d)
+  ours = np.asarray(out.sensordata, np.float64)
+  ref = mjd.sensordata
+  assert abs(ours[0] - ref[0]) < 2e-3, f'dist bb {ours[0]} vs {ref[0]}'
+  assert abs(ours[1] - ref[1]) < 2e-3, f'dist bg {ours[1]} vs {ref[1]}'
+  assert np.abs(ours[2:5] - ref[2:5]).max() < 5e-2, \
+      f'normal {ours[2:5]} vs {ref[2:5]}'
