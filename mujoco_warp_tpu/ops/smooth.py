@@ -703,10 +703,24 @@ def transmission(m: types.Model, d: types.Data) -> types.Data:
   if not m.nu:
     return d
   dtype = d.qpos.dtype
+
+  # fast path: every actuator drives a slide/hinge joint (the common RL
+  # case, e.g. humanoid) — one gather + one static scatter, no unrolling
+  trn = m.actuator_trntype
+  if np.all(trn == types.TrnType.JOINT):
+    jt = m.jnt_type[m.actuator_trnid[:, 0]]
+    if np.all((jt == _JT.SLIDE) | (jt == _JT.HINGE)):
+      qadr = m.jnt_qposadr[m.actuator_trnid[:, 0]]
+      dadr = m.jnt_dofadr[m.actuator_trnid[:, 0]]
+      gear0 = m.actuator_gear[:, 0]
+      length = d.qpos[qadr] * gear0
+      moment = jnp.zeros((m.nu, m.nv), dtype).at[
+          np.arange(m.nu), dadr].set(gear0)
+      return d.replace(actuator_length=length.astype(dtype),
+                       actuator_moment=moment)
+
   length = jnp.zeros((m.nu,), dtype)
   moment = jnp.zeros((m.nu, m.nv), dtype)
-
-  trn = m.actuator_trntype
   for u in range(m.nu):
     tt = trn[u]
     tid = int(m.actuator_trnid[u, 0])
