@@ -37,6 +37,10 @@ class RenderContext:
   width: int = field(static=True, default=64)
   height: int = field(static=True, default=64)
   use_shadows: bool = field(static=True, default=False)
+  # checker shading for planes (the standard ground-grid look);
+  # cell edge in meters
+  use_checker: bool = field(static=True, default=True)
+  checker_size: float = field(static=True, default=0.5)
   # geom colors (ngeom, 4) rgba
   geom_rgba: types.Array = None
   # light config is read from Model (light_xpos/xdir via Data)
@@ -44,14 +48,24 @@ class RenderContext:
 
 def create_render_context(m: types.Model, mjm, cam_ids=None,
                           width: int = 64, height: int = 64,
-                          use_shadows: bool = False) -> RenderContext:
+                          use_shadows: bool = False,
+                          use_checker: bool = True,
+                          checker_size: float = 0.5) -> RenderContext:
   """Build a RenderContext (reference: io.py:3936)."""
   if cam_ids is None:
     cam_ids = np.arange(m.ncam, dtype=np.int32)
+  # material colors override geom rgba where assigned (reference applies
+  # mat_rgba in its flat color buffer)
+  rgba = np.asarray(mjm.geom_rgba, np.float32).copy()
+  if mjm.nmat:
+    matid = np.asarray(mjm.geom_matid).reshape(-1)
+    has = matid >= 0
+    rgba[has] = np.asarray(mjm.mat_rgba, np.float32)[matid[has]]
   return RenderContext(
       cam_ids=np.asarray(cam_ids, np.int32),
       width=width, height=height, use_shadows=use_shadows,
-      geom_rgba=jnp.asarray(np.asarray(mjm.geom_rgba, np.float32)))
+      use_checker=use_checker, checker_size=float(checker_size),
+      geom_rgba=jnp.asarray(rgba))
 
 
 def _camera_rays(m, d, camid: int, width: int, height: int):
@@ -153,6 +167,17 @@ def render(m: types.Model, d: types.Data, rc: RenderContext):
     normal = _surface_normal(m, d, pnt, onehot)
 
     base = jnp.einsum('rg,gc->rc', onehot, rc.geom_rgba[:, :3])
+
+    # checker shading on planes: darken alternate cells of the local grid
+    if rc.use_checker:
+      for g in np.nonzero(m.geom_type == types.GeomType.PLANE)[0]:
+        g = int(g)
+        lp = (pnt - d.geom_xpos[g]) @ d.geom_xmat[g]
+        cell = jnp.floor(lp[:, 0] / rc.checker_size) + jnp.floor(
+            lp[:, 1] / rc.checker_size)
+        fac = jnp.where(cell % 2.0 > 0.5, 0.55, 1.0)
+        w = onehot[:, g]
+        base = base * (1.0 + w * (fac - 1.0))[:, None]
 
     # lighting: headlight + model lights (Lambert)
     view = -dirs

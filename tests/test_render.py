@@ -85,3 +85,36 @@ def test_rgb_and_batching(case):
   assert outs[0].shape == (3, 1, 36, 48, 3)
   np.testing.assert_allclose(np.asarray(outs[0][0]), np.asarray(out[0]),
                              atol=1e-5)
+
+
+def test_plane_checker():
+  """Plane pixels show the checker grid (two distinct shades)."""
+  import jax
+  import mujoco
+  import numpy as np
+  from mujoco_warp_tpu import io
+  from mujoco_warp_tpu.ops import forward as fwd, render
+
+  xml = """
+  <mujoco>
+    <worldbody>
+      <geom name="floor" type="plane" size="3 3 .1" rgba="0.8 0.8 0.8 1"/>
+      <camera name="c" pos="0 -2 2" xyaxes="1 0 0 0 0.7 0.7"/>
+    </worldbody>
+  </mujoco>
+  """
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_forward(mjm, mjd)
+  m = io.put_model(mjm)
+  d = io.put_data(mjm, mjd, m)
+  d = jax.jit(lambda d: fwd.fwd_position(m, d))(d)
+  rc = render.create_render_context(m, mjm, width=48, height=48)
+  out = jax.jit(lambda d: render.render(m, d, rc))(d)
+  rgb = np.asarray(render.get_rgb(out))[0]
+  seg = np.asarray(render.get_segmentation(out))[0]
+  floor = rgb[seg == 0][:, 0].astype(np.int32)
+  assert len(floor) > 100
+  # bimodal shades: spread between bright and dark cells
+  assert floor.max() - floor.min() > 40, \
+      f'no checker contrast: {floor.min()}..{floor.max()}'
