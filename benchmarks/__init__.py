@@ -10,13 +10,19 @@ rounds.
 import os
 
 _DMC = '/opt/venv/lib/python3.12/site-packages/dm_control/suite'
+_REF = '/root/reference/benchmarks'
 _REPO = os.path.join(os.path.dirname(__file__), '..', 'mujoco_warp_tpu',
                      'models')
 
 BENCHMARKS = {
-    # flagship: 27-DoF humanoid, same class as the reference's humanoid
-    # benchmark (8192 worlds, Newton+Euler, pyramidal)
-    'humanoid': (os.path.join(_DMC, 'humanoid.xml'), 8192, 100, ()),
+    # flagship: the reference suite's own humanoid scene (27 DoF,
+    # Newton+Euler, 8192 worlds) — apples-to-apples with BASELINE.md
+    'humanoid': (os.path.join(_REF, 'humanoid/humanoid.xml'), 8192, 100,
+                 ()),
+    # 81-DoF sparse crossover scene from the reference suite
+    'three_humanoids': (os.path.join(_REF, 'humanoid/three_humanoids.xml'),
+                        8192, 100, ()),
+    'humanoid_dmc': (os.path.join(_DMC, 'humanoid.xml'), 8192, 100, ()),
     'walker': (os.path.join(_DMC, 'walker.xml'), 8192, 100, ()),
     'cheetah': (os.path.join(_DMC, 'cheetah.xml'), 8192, 100, ()),
     'hopper': (os.path.join(_DMC, 'hopper.xml'), 8192, 100, ()),

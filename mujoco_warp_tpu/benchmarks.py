@@ -20,36 +20,41 @@ import numpy as np
 from mujoco_warp_tpu import io, types
 from mujoco_warp_tpu.ops import forward as fwd
 
-HUMANOID_XML = ('/opt/venv/lib/python3.12/site-packages/dm_control/suite/'
-                'humanoid.xml')
+import os as _os
+
+# the reference suite's flagship scene (benchmarks/humanoid/__init__.py):
+# apples-to-apples with BASELINE.md's 2.73M steps/s anchor. Falls back to
+# the dm_control humanoid (same 27-DoF class) if the reference checkout
+# isn't mounted.
+REF_HUMANOID_XML = '/root/reference/benchmarks/humanoid/humanoid.xml'
+DMC_HUMANOID_XML = ('/opt/venv/lib/python3.12/site-packages/dm_control/'
+                    'suite/humanoid.xml')
+HUMANOID_XML = (REF_HUMANOID_XML if _os.path.exists(REF_HUMANOID_XML)
+                else DMC_HUMANOID_XML)
 
 
 def load_humanoid_benchmark():
-  """27-DoF humanoid stripped of sensors/cameras.
-
-  The reference's humanoid benchmark scene has no sensors (benchmarks/
-  humanoid); dm_control's humanoid carries 34 sensors + cameras which are
-  not part of the physics-throughput comparison, so they are removed for
-  the apples-to-apples number.
-  """
-  import os
-  import re
-  import tempfile
-
+  """Flagship benchmark model: the reference suite's humanoid."""
   import mujoco
+
+  if HUMANOID_XML == REF_HUMANOID_XML:
+    return mujoco.MjModel.from_xml_path(HUMANOID_XML)
+
+  # dm_control fallback: strip sensors/cameras (not part of the
+  # physics-throughput comparison; the reference scene has none)
+  import re
+  import shutil
+  import tempfile
 
   xml = open(HUMANOID_XML).read()
   xml = re.sub(r'<sensor>.*?</sensor>', '', xml, flags=re.S)
   xml = re.sub(r'<camera[^/]*?/>', '', xml)
-  # stage in a temp dir with the common/ includes alongside
-  import shutil
-
-  base = os.path.dirname(HUMANOID_XML)
+  base = _os.path.dirname(HUMANOID_XML)
   tmp = tempfile.mkdtemp(prefix='mjw_tpu_bench_')
   try:
-    shutil.copytree(os.path.join(base, 'common'),
-                    os.path.join(tmp, 'common'))
-    path = os.path.join(tmp, 'humanoid.xml')
+    shutil.copytree(_os.path.join(base, 'common'),
+                    _os.path.join(tmp, 'common'))
+    path = _os.path.join(tmp, 'humanoid.xml')
     with open(path, 'w') as f:
       f.write(xml)
     return mujoco.MjModel.from_xml_path(path)
