@@ -62,9 +62,14 @@ def load_humanoid_benchmark():
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def build(mjm, nworld: int, seed: int = 0):
-  """Model + randomized batched Data."""
-  m = io.put_model(mjm)
+def build(mjm, nworld: int, seed: int = 0, nconmax=24):
+  """Model + randomized batched Data.
+
+  ``nconmax`` defaults to the reference humanoid benchmark's capacity
+  (reference benchmarks/humanoid/__init__.py: nconmax=24, njmax=64) so the
+  constraint system is sized apples-to-apples.
+  """
+  m = io.put_model(mjm, nconmax=nconmax)
   d = io.make_data(m, nworld=nworld)
   rng = np.random.default_rng(seed)
   qpos = np.asarray(jax.device_get(d.qpos))

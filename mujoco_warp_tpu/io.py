@@ -190,8 +190,38 @@ def _efc_layout(
   return ne, nf, nl, nefc, con_adr, layout
 
 
-def put_model(mjm: mujoco.MjModel, dtype=np.float32) -> types.Model:
-  """Convert a mujoco.MjModel into a device Model (reference: io.py:287)."""
+def _con_classes(con_dim: np.ndarray, nconmax) -> Tuple:
+  """Group candidate contact slots by condim and assign slot capacities.
+
+  ``nconmax`` is the total active-contact budget per world (the reference's
+  ``nconmax`` capacity knob, io.py:1316 `_default_nconmax`); it is split
+  across condim classes proportionally to their candidate counts.  Returns
+  ((dim, cap, cand_idx, slot_start), ...).
+  """
+  ncand = len(con_dim)
+  classes = []
+  slot = 0
+  for dim in sorted(set(int(x) for x in con_dim)):
+    cand_idx = np.nonzero(con_dim == dim)[0].astype(np.int32)
+    n = len(cand_idx)
+    cap = min(n, max(1, int(np.ceil(nconmax * n / max(ncand, 1)))))
+    classes.append((dim, cap, cand_idx, slot))
+    slot += cap
+  return tuple(classes)
+
+
+def put_model(mjm: mujoco.MjModel, dtype=np.float32,
+              nconmax: Optional[int] = None) -> types.Model:
+  """Convert a mujoco.MjModel into a device Model (reference: io.py:287).
+
+  ``nconmax``: optional per-world active-contact budget.  When set (and
+  smaller than the candidate count), the collision driver compacts active
+  candidates into ``nconmax`` slots each step, bounding the constraint
+  system like the reference's runtime capacity knobs (io.py:1712
+  make_data(nconmax, njmax)); overflowing contacts are dropped and flagged
+  in ``d.overflow``.  When unset, every candidate keeps a dedicated slot
+  (lossless).
+  """
   # ---- validation (reference: io.py:312-418)
   if mjm.opt.solver == mujoco.mjtSolver.mjSOL_PGS:
     raise NotImplementedError('PGS solver is not supported (use CG/Newton).')
@@ -235,8 +265,24 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32) -> types.Model:
 
   # collision candidate table
   pairs = collision_driver.collision_pairs(mjm)
-  ncon = len(pairs.con_pair)
-  slot_dim = pairs.con_dim[pairs.con_pair] if ncon else np.zeros(0, np.int32)
+  ncand = len(pairs.con_pair)
+  cand_dim = pairs.con_dim[pairs.con_pair] if ncand else np.zeros(0, np.int32)
+  # compaction classes: active candidates pack into capped per-condim slots
+  con_classes = ()
+  con_compact = False
+  ncon = ncand
+  slot_dim = cand_dim
+  if nconmax is not None and ncand:
+    con_classes = _con_classes(cand_dim, nconmax)
+    ncon = sum(c[1] for c in con_classes)
+    if ncon < ncand:
+      con_compact = True
+      slot_dim = np.concatenate(
+          [np.full(cap, dim, np.int32) for dim, cap, _, _ in con_classes])
+    else:  # budget covers every candidate: keep the lossless identity path
+      con_classes = ()
+      ncon = ncand
+      slot_dim = cand_dim
   ne, nf, nl, nefc, con_efc_adr, efc_layout = _efc_layout(
       mjm, slot_dim, int(mjm.opt.cone))
 
@@ -246,7 +292,8 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32) -> types.Model:
       nlight=mjm.nlight, nmocap=mjm.nmocap, neq=mjm.neq,
       ntendon=mjm.ntendon, nwrap=mjm.nwrap, nsensor=mjm.nsensor,
       nsensordata=mjm.nsensordata, nhistory=mjm.nhistory,
-      ne=ne, nf=nf, nl=nl, nefc=nefc, ncon=ncon,
+      ne=ne, nf=nf, nl=nl, nefc=nefc, ncon=ncon, ncand=ncand,
+      con_classes=con_classes, con_compact=con_compact, con_dim=slot_dim,
       opt=opt, stat=stat, tree=tree, efc=efc_layout,
       qpos0=_jnp(mjm.qpos0, dtype),
       qpos_spring=_jnp(mjm.qpos_spring, dtype),
@@ -447,6 +494,21 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32) -> types.Model:
       pair_solreffriction=_jnp(pairs.pair_solreffriction, dtype),
       pair_solimp=_jnp(pairs.pair_solimp, dtype),
   )
+
+  # mixed contact params per candidate slot are state-independent: hoist the
+  # reference's per-step param mixing (collision_core.py:317-473) to model
+  # constants computed once here
+  if ncand:
+    cp = pairs.con_pair
+    solref, solreffriction, solimp, margin, gap, friction = \
+        collision_driver._mix_params(
+            m, pairs.pair_geom1[cp], pairs.pair_geom2[cp],
+            pairs.pair_explicit[cp], dtype)
+    m = m.replace(
+        cand_friction=friction, cand_solref=solref,
+        cand_solreffriction=solreffriction, cand_solimp=solimp,
+        cand_includemargin=(margin - gap).astype(dtype),
+        cand_margin=margin.astype(dtype))
   return m
 
 
@@ -472,6 +534,23 @@ def _empty_data(m: types.Model, dtype=np.float32) -> types.Data:
   quat0 = jnp.asarray(quat0_np)
   eye = lambda n: jnp.asarray(
       np.broadcast_to(np.eye(3, dtype=dtype), (n, 3, 3)).copy())
+  dim_slots = m.con_dim if m.ncon else np.zeros(0, np.int32)
+  if m.con_compact:
+    # initialize each slot's geoms to its class's first candidates (inert:
+    # dist=1e10 keeps every row masked until collision() fills the slots)
+    init_cand = np.concatenate(
+        [ci[np.minimum(np.arange(cap), len(ci) - 1)]
+         for _, cap, ci, _ in m.con_classes])
+    geom1 = m.pair_geom1[m.con_pair[init_cand]]
+    geom2 = m.pair_geom2[m.con_pair[init_cand]]
+    cand0 = jnp.asarray(np.full((m.ncon,), -1, np.int32))
+  elif m.ncon:
+    geom1 = m.pair_geom1[m.con_pair]
+    geom2 = m.pair_geom2[m.con_pair]
+    cand0 = jnp.asarray(np.arange(m.ncon, dtype=np.int32))
+  else:
+    geom1 = geom2 = np.zeros(0, np.int32)
+    cand0 = jnp.zeros((0,), jnp.int32)
   contact = types.Contact(
       dist=jnp.asarray(np.full((m.ncon,), 1e10, dtype)),
       pos=z(m.ncon, 3),
@@ -481,9 +560,10 @@ def _empty_data(m: types.Model, dtype=np.float32) -> types.Data:
       solref=z(m.ncon, types.NREF),
       solreffriction=z(m.ncon, types.NREF),
       solimp=z(m.ncon, types.NIMP),
-      dim=m.pair_dim[m.con_pair] if m.ncon else np.zeros(0, np.int32),
-      geom1=m.pair_geom1[m.con_pair] if m.ncon else np.zeros(0, np.int32),
-      geom2=m.pair_geom2[m.con_pair] if m.ncon else np.zeros(0, np.int32),
+      geom1=jnp.asarray(np.asarray(geom1, np.int32)),
+      geom2=jnp.asarray(np.asarray(geom2, np.int32)),
+      cand=cand0,
+      dim=dim_slots,
       efc_address=m.con_efc_address,
   )
   return types.Data(
@@ -665,4 +745,19 @@ def override_model(m: types.Model, overrides) -> types.Model:
     else:  # jax array field
       new = jnp.asarray(np.asarray(float(val), np.asarray(cur).dtype))
     m = m.replace(opt=m.opt.replace(**{name: new}))
+  # refresh the precomputed contact param tables (they bake in opt.o_* via
+  # the EnableBit.OVERRIDE branch of the param mixing)
+  if m.ncand:
+    cp = m.con_pair
+    solref, solreffriction, solimp, margin, gap, friction = \
+        collision_driver._mix_params(
+            m, m.pair_geom1[cp], m.pair_geom2[cp],
+            np.asarray([-1] * len(cp), np.int32)
+            if m.pair_explicit is None else m.pair_explicit[cp],
+            np.float32)
+    m = m.replace(
+        cand_friction=friction, cand_solref=solref,
+        cand_solreffriction=solreffriction, cand_solimp=solimp,
+        cand_includemargin=(margin - gap).astype(np.float32),
+        cand_margin=margin.astype(np.float32))
   return m

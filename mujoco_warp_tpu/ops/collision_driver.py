@@ -242,12 +242,8 @@ def _mix_params(m: types.Model, g1: np.ndarray, g2: np.ndarray,
   return solref, solreffriction, solimp, margin, gap, friction
 
 
-def collision(m: types.Model, d: types.Data) -> types.Data:
-  """Run narrowphase over all candidate pairs (reference: driver.py:885)."""
-  if m.ncon == 0 or (m.opt.disableflags & types.DisableBit.CONTACT):
-    return d
-  dtype = d.qpos.dtype
-
+def _narrowphase_candidates(m: types.Model, d: types.Data):
+  """dist/pos/frame over every candidate slot (static pair table)."""
   dist_slots = []
   pos_slots = []
   frame_slots = []
@@ -269,27 +265,84 @@ def collision(m: types.Model, d: types.Data) -> types.Data:
     pos_slots.append(pos.reshape(-1, 3))
     frame_slots.append(frame.reshape(-1, 3, 3))
 
-  dist = jnp.concatenate(dist_slots)
-  pos = jnp.concatenate(pos_slots, axis=0)
-  frame = jnp.concatenate(frame_slots, axis=0)
+  return (jnp.concatenate(dist_slots), jnp.concatenate(pos_slots, axis=0),
+          jnp.concatenate(frame_slots, axis=0))
 
-  # per-slot parameters via the slot -> pair map
-  cp = m.con_pair
-  g1s = m.pair_geom1[cp]
-  g2s = m.pair_geom2[cp]
-  solref, solreffriction, solimp, margin, gap, friction = _mix_params(
-      m, g1s, g2s, m.pair_explicit[cp], dtype)
-  includemargin = margin - gap
+
+def collision(m: types.Model, d: types.Data) -> types.Data:
+  """Run narrowphase over all candidate pairs (reference: driver.py:885).
+
+  With ``m.con_compact``, active candidates are packed per condim class
+  into capped contact slots — the fixed-shape replacement for the
+  reference's atomic slot allocation (collision_core.py:214 write_contact)
+  and the VERDICT-mandated runtime pruning of the static pair table.
+  Overflowing contacts are dropped and flagged in ``d.overflow``.
+  """
+  if m.ncon == 0 or (m.opt.disableflags & types.DisableBit.CONTACT):
+    return d
+  dtype = d.qpos.dtype
+
+  dist, pos, frame = _narrowphase_candidates(m, d)
+  dist = dist.astype(dtype)
+  # mixed params (incl. the static EnableBit.OVERRIDE branch) are model
+  # constants precomputed in put_model; override_model refreshes them
+  im_cand = m.cand_includemargin
+  friction_c = m.cand_friction
+  solref_c = m.cand_solref
+  solimp_c = m.cand_solimp
+  solreffriction_c = m.cand_solreffriction
+
+  if not m.con_compact:
+    contact = d.contact.replace(
+        dist=dist,
+        pos=pos.astype(dtype),
+        frame=frame.astype(dtype),
+        includemargin=im_cand,
+        friction=friction_c,
+        solref=solref_c,
+        solreffriction=solreffriction_c,
+        solimp=solimp_c,
+    )
+    ncon_active = jnp.sum((dist < im_cand).astype(jnp.int32))
+    return d.replace(contact=contact, ncon_active=ncon_active)
+
+  # ---- compaction: per condim class, actives-first pack into cap slots
+  sel_list, valid_list = [], []
+  ncon_active = jnp.zeros((), jnp.int32)
+  over = jnp.zeros((), bool)
+  for dim, cap, ci, slot in m.con_classes:
+    ci_j = jnp.asarray(ci)
+    act = dist[ci_j] < im_cand[ci_j]
+    # actives keep candidate order; inactives sort to the back
+    keys = jnp.where(act, jnp.arange(len(ci), dtype=jnp.int32),
+                     jnp.int32(m.ncand))
+    order = jnp.argsort(keys)[:cap]
+    sel_list.append(ci_j[order])
+    valid_list.append(act[order])
+    nact = jnp.sum(act.astype(jnp.int32))
+    ncon_active = ncon_active + jnp.minimum(nact, cap)
+    over = over | (nact > cap)
+
+  sel = jnp.concatenate(sel_list)  # (ncon,) candidate ids
+  valid = jnp.concatenate(valid_list)
+  vf = valid.astype(dtype)
+  cp = jnp.asarray(m.con_pair)
+  g1t = jnp.asarray(m.pair_geom1)
+  g2t = jnp.asarray(m.pair_geom2)
 
   contact = d.contact.replace(
-      dist=dist.astype(dtype),
-      pos=pos.astype(dtype),
-      frame=frame.astype(dtype),
-      includemargin=includemargin,
-      friction=friction,
-      solref=solref,
-      solreffriction=solreffriction,
-      solimp=solimp,
+      dist=jnp.where(valid, dist[sel], 1e10),
+      pos=pos[sel].astype(dtype),
+      frame=frame[sel].astype(dtype),
+      includemargin=im_cand[sel] * vf,
+      friction=friction_c[sel],
+      solref=solref_c[sel],
+      solreffriction=solreffriction_c[sel],
+      solimp=solimp_c[sel],
+      geom1=g1t[cp[sel]],
+      geom2=g2t[cp[sel]],
+      cand=jnp.where(valid, sel, -1),
   )
-  ncon_active = jnp.sum((dist < includemargin).astype(jnp.int32))
-  return d.replace(contact=contact, ncon_active=ncon_active)
+  overflow = d.overflow | jnp.where(over, types.OverflowType.CONTACT, 0)
+  return d.replace(contact=contact, ncon_active=ncon_active,
+                   overflow=overflow.astype(jnp.int32))

@@ -74,19 +74,26 @@ def _row_values(m, pos_aref, pos_imp, invweight, solref, solimp, margin, vel,
 
 
 def _jac(m: types.Model, d: types.Data, point, bodyid):
-  """Batched point Jacobian for static body-id array.
+  """Batched point Jacobian.
 
-  point: (n, 3) dynamic; bodyid: (n,) static numpy.
-  Returns jacp, jacr of shape (n, nv, 3).
+  point: (n, 3) dynamic; bodyid: (n,) static numpy OR traced int array
+  (traced ids arise from compacted contact slots, whose geom pairing is
+  per-world).  Returns jacp, jacr of shape (n, nv, 3).
   Reference: support.py:498 `jac_dof` (one thread per dof there).
   """
   dtype = point.dtype
-  mask = jnp.asarray(m.tree.body_dof_mask[bodyid], dtype)  # (n, nv)
-  offset = point - d.subtree_com[m.body_rootid[bodyid]]  # (n, 3)
+  n = len(bodyid) if isinstance(bodyid, np.ndarray) else bodyid.shape[0]
+  if isinstance(bodyid, np.ndarray):  # constants fold at trace time
+    mask = jnp.asarray(m.tree.body_dof_mask[bodyid], dtype)  # (n, nv)
+    root = m.body_rootid[bodyid]
+  else:
+    mask = jnp.asarray(m.tree.body_dof_mask, dtype)[bodyid]
+    root = jnp.asarray(m.body_rootid)[bodyid]
+  offset = point - d.subtree_com[root]  # (n, 3)
   ang = d.cdof[:, :3]  # (nv, 3)
   lin = d.cdof[:, 3:]
   jacp = (lin[None] + jnp.cross(
-      jnp.broadcast_to(ang[None], (len(bodyid),) + ang.shape),
+      jnp.broadcast_to(ang[None], (n,) + ang.shape),
       offset[:, None, :])) * mask[..., None]
   jacr = ang[None] * mask[..., None]
   return jacp, jacr
@@ -111,13 +118,18 @@ def _cdof_dot_jac(m: types.Model, d: types.Data):
 def _jac_dot(m: types.Model, d: types.Data, point, bodyid, cdof_dot):
   """Batched time-derivative of the point Jacobian (support.py:607-664)."""
   dtype = point.dtype
-  mask = jnp.asarray(m.tree.body_dof_mask[bodyid], dtype)
-  offset = point - d.subtree_com[m.body_rootid[bodyid]]
+  if isinstance(bodyid, np.ndarray):
+    mask = jnp.asarray(m.tree.body_dof_mask[bodyid], dtype)
+    root = m.body_rootid[bodyid]
+  else:
+    mask = jnp.asarray(m.tree.body_dof_mask, dtype)[bodyid]
+    root = jnp.asarray(m.body_rootid)[bodyid]
+  offset = point - d.subtree_com[root]
   cvel = d.cvel[bodyid]  # (n, 6)
   pvel_lin = cvel[:, 3:] - jnp.cross(offset, cvel[:, :3])  # (n, 3)
   dd_ang = cdof_dot[:, :3]  # (nv, 3)
   dd_lin = cdof_dot[:, 3:]
-  n = len(bodyid)
+  n = len(bodyid) if isinstance(bodyid, np.ndarray) else bodyid.shape[0]
   corr1 = jnp.cross(jnp.broadcast_to(dd_ang[None], (n,) + dd_ang.shape),
                     offset[:, None, :])
   corr2 = jnp.cross(jnp.broadcast_to(d.cdof[None, :, :3],
@@ -502,14 +514,16 @@ def _contact(m, d, rows, dtype):
 
   # group contact slots by condim (static)
   dims = np.asarray(con.dim)
+  geom_bodyid = jnp.asarray(m.geom_bodyid)
   for dim in np.unique(dims):
     dim = int(dim)
     idx = np.nonzero(dims == dim)[0]
     k = len(idx)
+    # geom ids are per-world dynamic under contact compaction
     g1 = con.geom1[idx]
     g2 = con.geom2[idx]
-    body1 = m.geom_bodyid[g1]
-    body2 = m.geom_bodyid[g2]
+    body1 = geom_bodyid[g1]
+    body2 = geom_bodyid[g2]
     pos = con.pos[idx]
     frame = con.frame[idx]  # (k, 3, 3) rows
     dist = con.dist[idx]

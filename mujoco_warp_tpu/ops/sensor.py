@@ -505,7 +505,6 @@ def _contact_sensor(m: types.Model, d: types.Data, sd, ids):
   found|force|torque|dist|pos|normal|tangent; reduce: 0 none, 1 mindist,
   2 maxforce, 3 netforce.
   """
-  from mujoco_warp_tpu.ops import collision_driver
   dtype = d.qpos.dtype
   con = d.contact
   if m.ncon == 0:
@@ -514,29 +513,27 @@ def _contact_sensor(m: types.Model, d: types.Data, sd, ids):
       sd = sd.at[adr_s:adr_s + dim_s].set(0.0)
     return sd
 
-  cp = m.con_pair
-  _, _, _, marg, _, _ = collision_driver._mix_params(
-      m, m.pair_geom1[cp], m.pair_geom2[cp], m.pair_explicit[cp], dtype)
+  # full margin per slot (gathered: slot identity is per-world dynamic
+  # under contact compaction)
+  safe_cand = jnp.maximum(con.cand, 0)
+  marg = jnp.where(con.cand >= 0, m.cand_margin[safe_cand], 0.0)
   wrench = smooth._contact_forces_local(m, d)  # (ncon, 6) contact frame
-  parent = m.body_parentid
-
-  def in_subtree(body, root):
-    while body > root:
-      body = int(parent[body])
-    return body == root
+  gb = jnp.asarray(m.geom_bodyid)
+  b1s = gb[con.geom1]
+  b2s = gb[con.geom2]
+  sub = m.tree.subtree_mask  # (nbody, nbody): sub[i, j] = j in subtree(i)
 
   def check(b, g, ot, oi):
-    if ot == 0:  # mjOBJ_UNKNOWN: matches anything
-      return True
-    if ot == _OT.SITE:
-      return True  # containment applied dynamically
+    """(ncon,) bool: does slot operand (b, g) match sensor operand?"""
+    if ot == 0 or ot == _OT.SITE:  # UNKNOWN matches all; SITE is dynamic
+      return jnp.ones(b.shape, bool)
     if ot == _OT.GEOM:
-      return oi == g
+      return g == oi
     if ot == _OT.BODY:
-      return oi == b
+      return b == oi
     if ot == _OT.XBODY:
-      return in_subtree(b, oi)
-    return False
+      return jnp.asarray(sub[oi])[b]
+    return jnp.zeros(b.shape, bool)
 
   _FIELD_DIMS = (1, 3, 3, 1, 3, 3, 3)
   for s in ids:
@@ -550,42 +547,33 @@ def _contact_sensor(m: types.Model, d: types.Data, sd, ids):
     size = sum(dm for f, dm in zip(flags, _FIELD_DIMS) if f)
     num = dim_s // size
 
-    # static candidate matching
-    cand, dirs = [], []
-    for k in range(m.ncon):
-      g1, g2 = int(con.geom1[k]), int(con.geom2[k])
-      b1, b2 = int(m.geom_bodyid[g1]), int(m.geom_bodyid[g2])
-      m11 = check(b1, g1, ot1, oi1)
-      m12 = check(b2, g2, ot1, oi1)
-      m21 = check(b1, g1, ot2, oi2)
-      m22 = check(b2, g2, ot2, oi2)
-      if not (m11 or m12) or not (m21 or m22):
-        continue
-      dir_k = 1.0
-      if ot1 != 0 and ot2 != 0:
-        regular, reverse = m11 and m22, m12 and m21
-        if not regular and not reverse:
-          continue
-        if reverse and not regular:
-          dir_k = -1.0
-      elif ot1 != 0:
-        dir_k = 1.0 if m11 else -1.0
-      elif ot2 != 0:
-        dir_k = 1.0 if m22 else -1.0
-      cand.append(k)
-      dirs.append(dir_k)
+    # dynamic matching over all slots (reference: sensor.py contact
+    # matching; geom pairing is per-world under compaction)
+    m11 = check(b1s, con.geom1, ot1, oi1)
+    m12 = check(b2s, con.geom2, ot1, oi1)
+    m21 = check(b1s, con.geom1, ot2, oi2)
+    m22 = check(b2s, con.geom2, ot2, oi2)
+    matched = (m11 | m12) & (m21 | m22)
+    dir_f = jnp.ones((m.ncon,), dtype)
+    if ot1 != 0 and ot2 != 0:
+      regular = m11 & m22
+      reverse = m12 & m21
+      matched = matched & (regular | reverse)
+      dir_f = jnp.where(reverse & ~regular, -1.0, 1.0).astype(dtype)
+    elif ot1 != 0:
+      dir_f = jnp.where(m11, 1.0, -1.0).astype(dtype)
+    elif ot2 != 0:
+      dir_f = jnp.where(m22, 1.0, -1.0).astype(dtype)
 
     sd = sd.at[adr_s:adr_s + dim_s].set(0.0)
-    if not cand:
-      continue
-    kk = np.asarray(cand)
-    dirv = jnp.asarray(np.asarray(dirs), dtype)[:, None]
-    found = con.dist[kk] < marg[kk]
+    kk = np.arange(m.ncon)
+    dirv = dir_f[:, None]
+    found = matched & (con.dist < marg)
     if ot1 == _OT.SITE:
-      found = found & _inside_site(m, d, oi1, con.pos[kk])
+      found = found & _inside_site(m, d, oi1, con.pos)
     nmatch = jnp.sum(found.astype(dtype))
-    w = wrench[kk] * dirv  # (nc, 6) directed local wrench
-    frame = con.frame[kk]
+    w = wrench * dirv  # (ncon, 6) directed local wrench
+    frame = con.frame
 
     if reduce == 3:  # netforce: force-weighted centroid wrench
       fmask = found.astype(dtype)[:, None]
@@ -707,16 +695,17 @@ def sensor_acc(m: types.Model, d: types.Data) -> types.Data:
       # point lies in the site zone; approximated by body match (zone test
       # refined later with site geometry).  The (site, contact) match
       # matrix is static → one masked matvec.
-      body = m.site_bodyid[objid]
+      body = jnp.asarray(m.site_bodyid[objid])
       forces = smooth._contact_forces(m, d)
       con = d.contact
       fn = jnp.linalg.norm(forces[:, 3:], axis=-1)
       active = (con.dist < con.includemargin).astype(dtype)
-      b1 = m.geom_bodyid[con.geom1]
-      b2 = m.geom_bodyid[con.geom2]
+      gb = jnp.asarray(m.geom_bodyid)
+      b1 = gb[con.geom1]
+      b2 = gb[con.geom2]
       match = ((b1[None, :] == body[:, None]) |
-               (b2[None, :] == body[:, None]))  # (nt, ncon) static
-      vals = jnp.asarray(match.astype(np.float32), dtype) @ (fn * active)
+               (b2[None, :] == body[:, None]))  # (nt, ncon) dynamic
+      vals = jnp.sum(jnp.where(match, (fn * active)[None, :], 0.0), axis=1)
       sd = _write(sd, adr, 1, vals)
   d = d.replace(sensordata=_apply_cutoff(m, sd, stage='acc'))
   return _finish_acc(m, d)

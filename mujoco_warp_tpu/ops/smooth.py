@@ -360,13 +360,15 @@ def rne_postconstraint(m: types.Model, d: types.Data) -> types.Data:
   if m.ncon and not (m.opt.disableflags & types.DisableBit.CONTACT):
     con = d.contact
     forces = _contact_forces(m, d)  # (ncon, 6) [torque; force] world @ pos
-    b1 = m.geom_bodyid[con.geom1]
-    b2 = m.geom_bodyid[con.geom2]
+    gb = jnp.asarray(m.geom_bodyid)
+    b1 = gb[con.geom1]
+    b2 = gb[con.geom2]
+    rootid = jnp.asarray(m.body_rootid)
     active = (con.dist < con.includemargin)[:, None]
     # wrench acts +on body2 (J = jac2 - jac1), -on body1; translate to each
     # body's com-rooted frame origin
     for bodies, sign in ((b2, 1.0), (b1, -1.0)):
-      off = con.pos - d.subtree_com[m.body_rootid[bodies]]
+      off = con.pos - d.subtree_com[rootid[bodies]]
       ang = forces[:, :3] + jnp.cross(off, forces[:, 3:])
       w = sign * jnp.where(active,
                            jnp.concatenate([ang, forces[:, 3:]], -1), 0.0)
@@ -808,39 +810,47 @@ def transmission(m: types.Model, d: types.Data) -> types.Data:
     elif tt == types.TrnType.BODY:
       # adhesion: mean contact-normal Jacobian over contacts touching the
       # body, negated; in-gap contacts contribute normal-projected
-      # Jacobian differences (reference: smooth.py:2523/2730/2867)
-      from mujoco_warp_tpu.ops import collision_driver, support
+      # Jacobian differences (reference: smooth.py:2523/2730/2867).
+      # Vectorized over contact slots; geom ids are per-world dynamic
+      # under contact compaction.
+      from mujoco_warp_tpu.ops import constraint as constraint_ops
       con = d.contact
       mom = jnp.zeros((m.nv,), dtype)
       ncon_f = jnp.zeros((), dtype)
-      if con.geom1 is not None and len(con.geom1):
-        # margins are data-independent per static slot
-        cp = m.con_pair
-        _, _, _, marg, _, _ = collision_driver._mix_params(
-            m, m.pair_geom1[cp], m.pair_geom2[cp], m.pair_explicit[cp],
-            dtype)
-        for k in range(len(con.geom1)):
-          b1 = int(m.geom_bodyid[con.geom1[k]])
-          b2 = int(m.geom_bodyid[con.geom2[k]])
-          if b1 != tid and b2 != tid:
-            continue
-          found = (con.dist[k] < marg[k]).astype(dtype)
-          active = (con.dist[k] < con.includemargin[k]).astype(dtype)
-          ncon_f = ncon_f + found
-          adr = int(con.efc_address[k])
-          dim = int(con.dim[k])
-          if dim == 1 or m.opt.cone == types.ConeType.ELLIPTIC:
-            jn = d.efc_J[adr]
-          else:  # pyramidal: facet pairs average back to the normal row
-            npyr = dim - 1
-            jn = jnp.sum(d.efc_J[adr:adr + 2 * npyr], axis=0) * (
-                0.5 / npyr)
-          # in-gap contribution (inactive efc rows are zeroed, so the
-          # active term automatically vanishes there)
-          jp1, _ = support.jac(m, d, con.pos[k], b1)
-          jp2, _ = support.jac(m, d, con.pos[k], b2)
-          jgap = con.frame[k, 0] @ (jp2 - jp1)
-          mom = mom + active * jn + found * (1.0 - active) * jgap
+      if m.ncon:
+        nslot = m.ncon
+        gb = jnp.asarray(m.geom_bodyid)
+        b1 = gb[con.geom1]
+        b2 = gb[con.geom2]
+        touches = (b1 == tid) | (b2 == tid)
+        safe_cand = jnp.maximum(con.cand, 0)
+        marg = jnp.where(con.cand >= 0, m.cand_margin[safe_cand], 0.0)
+        found = (touches & (con.dist < marg)).astype(dtype)
+        active = (touches & (con.dist < con.includemargin)).astype(dtype)
+        ncon_f = jnp.sum(found)
+        # normal-row Jacobian per slot (pyramidal facets average back)
+        jn = jnp.zeros((nslot, m.nv), dtype)
+        dims_np = np.asarray(con.dim)
+        for dim_c in np.unique(dims_np):
+          dim_c = int(dim_c)
+          idx = np.nonzero(dims_np == dim_c)[0]
+          adr = np.asarray(con.efc_address)[idx]
+          if dim_c == 1 or m.opt.cone == types.ConeType.ELLIPTIC:
+            jn = jn.at[idx].set(d.efc_J[adr])
+          else:
+            npyr = dim_c - 1
+            rows = d.efc_J[(adr[:, None] +
+                            np.arange(2 * npyr)[None, :]).reshape(-1)]
+            jn = jn.at[idx].set(
+                jnp.sum(rows.reshape(len(idx), 2 * npyr, m.nv), axis=1) *
+                (0.5 / npyr))
+        # in-gap contribution (inactive efc rows are zeroed, so the
+        # active term automatically vanishes there)
+        jp1, _ = constraint_ops._jac(m, d, con.pos, b1)
+        jp2, _ = constraint_ops._jac(m, d, con.pos, b2)
+        jgap = jnp.einsum('ki,kvi->kv', con.frame[:, 0], jp2 - jp1)
+        w = active[:, None] * jn + (found * (1.0 - active))[:, None] * jgap
+        mom = jnp.sum(w, axis=0)
       has = ncon_f > 0
       mom = jnp.where(has, -mom / jnp.maximum(ncon_f, 1.0), 0.0)
       length = length.at[u].set(0.0)

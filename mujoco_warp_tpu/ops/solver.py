@@ -59,10 +59,10 @@ def _static_tables(m: types.Model) -> _Static:
   ell_cons = []
   if m.ncon and m.opt.cone == types.ConeType.ELLIPTIC:
     for i in range(m.ncon):
-      if int(m.pair_dim[m.con_pair[i]]) > 1:
+      if int(m.con_dim[i]) > 1:
         ell_cons.append(i)
   if ell_cons:
-    dims = np.asarray([int(m.pair_dim[m.con_pair[i]]) for i in ell_cons])
+    dims = np.asarray([int(m.con_dim[i]) for i in ell_cons])
     maxdim = int(dims.max())
     adr = np.zeros((len(ell_cons), maxdim), np.int32)
     mask = np.zeros((len(ell_cons), maxdim), bool)

@@ -176,10 +176,18 @@ def _make_kernel(m: types.Model, dtype):
       grad = Ma - qfrc_smooth - qfrc_c
       Dq = D * quad  # (nefc, W)
       # fold D into the i-row so no (nefc, nv, W) J·D copy is materialized
-      # (VMEM peak would double otherwise)
-      Hrows = [M[i] + jnp.sum((J[:, i, :] * Dq)[:, None, :] * J, axis=0)
-               for i in range(nv)]
-      H = jnp.stack(Hrows, axis=0)  # (nv, nv, W)
+      # (VMEM peak would double otherwise).  Only the lower triangle is
+      # computed — _chol_tile never reads above the diagonal — halving the
+      # dominant JᵀDAJ cost (reference tiles the full H, solver.py:1905).
+      Hrows = []
+      for i in range(nv):
+        low = jnp.sum((J[:, i, :] * Dq)[:, None, :] * J[:, :i + 1, :],
+                      axis=0)  # (i+1, W)
+        if i + 1 < nv:
+          low = jnp.concatenate(
+              [low, jnp.zeros((nv - i - 1, low.shape[-1]), dtype)], axis=0)
+        Hrows.append(M[i] + low)
+      H = jnp.stack(Hrows, axis=0)  # (nv, nv, W); upper = M only (unused)
       L = _chol_tile(H, nv)
       Mgrad = _chol_solve_tile(L, grad, nv)
       return grad, Mgrad

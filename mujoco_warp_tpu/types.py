@@ -303,11 +303,13 @@ class Statistic:
 class Contact:
   """Fixed-capacity per-world contact buffer (reference: types.py:1951).
 
-  ``ncon`` slots correspond 1:1 to the model's static candidate list
-  (collision pair table), each slot holding up to ``max_pair_contacts``
-  contact points.  A slot is live iff ``dist < includemargin``; dead slots
-  carry a large positive ``dist`` so constraint rows mask out cleanly.
-  All leading dims are the static candidate-contact count ``ncon``.
+  ``ncon`` slots are grouped by condim class (static).  Without compaction
+  (``Model.nconmax`` unset) slots correspond 1:1 to the model's candidate
+  list (collision pair table).  With compaction, active candidates are
+  packed per class into ``cap`` slots each step (the TPU replacement for
+  the reference's atomic slot allocation, collision_core.py:214).  A slot
+  is live iff ``dist < includemargin``; dead slots carry a large positive
+  ``dist`` so constraint rows mask out cleanly.
   """
 
   dist: Array  # (ncon,)
@@ -318,10 +320,13 @@ class Contact:
   solref: Array  # (ncon, NREF)
   solreffriction: Array  # (ncon, NREF)
   solimp: Array  # (ncon, NIMP)
-  # static per-slot metadata (from the model's candidate list)
+  # dynamic per-slot identity: geom pair and candidate id (compaction makes
+  # these per-world; -1 cand marks an empty slot)
+  geom1: Array = None  # (ncon,) int32
+  geom2: Array = None  # (ncon,) int32
+  cand: Array = None  # (ncon,) int32 candidate slot id, -1 empty
+  # static per-slot metadata (condim class layout)
   dim: np.ndarray = field(static=True, default=None)  # (ncon,) condim
-  geom1: np.ndarray = field(static=True, default=None)  # (ncon,)
-  geom2: np.ndarray = field(static=True, default=None)  # (ncon,)
   # efc row address of each contact's first constraint row (static layout)
   efc_address: np.ndarray = field(static=True, default=None)  # (ncon,)
 
@@ -430,7 +435,13 @@ class Model:
   nf: int = field(static=True, default=0)
   nl: int = field(static=True, default=0)
   nefc: int = field(static=True, default=0)  # total rows incl. contacts
-  ncon: int = field(static=True, default=0)  # candidate contact slots
+  ncon: int = field(static=True, default=0)  # contact slots in Data
+  ncand: int = field(static=True, default=0)  # candidate contact slots
+  # compaction classes: ((dim, cap, cand_idx, slot_start), ...) — per condim
+  # class, `cap` compact slots packed from the `cand_idx` candidate slots
+  # (reference capacity knob analog: io.py:1316 `_default_nconmax`)
+  con_classes: Tuple[Any, ...] = field(static=True, default=())
+  con_compact: bool = field(static=True, default=False)
 
   opt: Option = None
   stat: Statistic = None
@@ -642,9 +653,21 @@ class Model:
   pair_geom2: np.ndarray = field(static=True, default=None)  # (npair,)
   # per candidate-contact slot: candidate pair index (slots expand pairs by
   # max contacts per pair type)
-  con_pair: np.ndarray = field(static=True, default=None)  # (ncon,)
+  con_pair: np.ndarray = field(static=True, default=None)  # (ncand,)
   # efc row address of each contact slot's first row (static layout)
   con_efc_address: np.ndarray = field(static=True, default=None)  # (ncon,)
+  # condim per contact slot (static: slots are grouped by condim class)
+  con_dim: np.ndarray = field(static=True, default=None)  # (ncon,)
+  # mixed contact params per candidate slot, precomputed at put_model
+  # (reference computes these per step in write_contact,
+  # collision_core.py:317-473; they are state-independent so the TPU build
+  # hoists them to model constants)
+  cand_friction: Array = None  # (ncand, 5)
+  cand_solref: Array = None  # (ncand, NREF)
+  cand_solreffriction: Array = None  # (ncand, NREF)
+  cand_solimp: Array = None  # (ncand, NIMP)
+  cand_includemargin: Array = None  # (ncand,)
+  cand_margin: Array = None  # (ncand,) full margin (incl. gap)
   # narrowphase dispatch groups: tuple of
   # (geomtype1, geomtype2, pair_index_array, contact_slot_start)
   pair_groups: Tuple[Any, ...] = field(static=True, default=())
