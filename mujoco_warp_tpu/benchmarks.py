@@ -110,14 +110,30 @@ def run(mjm, nworld: int = 8192, nstep: int = 100, seed: int = 0,
   nu = m.nu
   tau = 0.2
 
-  def step_fn(dd, key):
-    if nu:
-      key, sub = jax.random.split(key)
-      eta = jax.random.normal(sub, dd.ctrl.shape, dd.ctrl.dtype)
-      decay = jnp.exp(-dt / tau)
-      ctrl = dd.ctrl * decay + 0.2 * np.sqrt(dt) * eta
-      dd = dd.replace(ctrl=ctrl)
-    return fwd.step(m, dd), key
+  from mujoco_warp_tpu.pallas import fused
+  use_fused = fused.supported(m, d)
+
+  def ou(ctrl, key):
+    key, sub = jax.random.split(key)
+    eta = jax.random.normal(sub, ctrl.shape, ctrl.dtype)
+    decay = jnp.exp(-dt / tau)
+    return ctrl * decay + 0.2 * np.sqrt(dt) * eta, key
+
+  if use_fused:
+    # lanes-last rollout: layout conversion happens once, outside the loop
+    d = fused.to_lane(m, d)
+
+    def step_fn(st, key):
+      if nu:
+        ctrl, key = ou(st.ctrl, key)
+        st = st._replace(ctrl=ctrl)
+      return fused.step_lane(m, st), key
+  else:
+    def step_fn(dd, key):
+      if nu:
+        ctrl, key = ou(dd.ctrl, key)
+        dd = dd.replace(ctrl=ctrl)
+      return fwd.step(m, dd), key
 
   step = jax.jit(step_fn, donate_argnums=0)
   key = jax.random.PRNGKey(seed)
@@ -139,6 +155,8 @@ def run(mjm, nworld: int = 8192, nstep: int = 100, seed: int = 0,
   steps = nworld * nstep
   steps_per_sec = steps / run_time
   qpos = np.asarray(jax.device_get(d.qpos))
+  if use_fused:
+    qpos = qpos.T  # lanes-last -> world-major
   converged = int(np.sum(np.all(np.isfinite(qpos), axis=-1)))
   return {
       'jit_duration': jit_duration,

@@ -193,18 +193,20 @@ def _efc_layout(
 def _con_classes(con_dim: np.ndarray, nconmax) -> Tuple:
   """Group candidate contact slots by condim and assign slot capacities.
 
-  ``nconmax`` is the total active-contact budget per world (the reference's
-  ``nconmax`` capacity knob, io.py:1316 `_default_nconmax`); it is split
-  across condim classes proportionally to their candidate counts.  Returns
-  ((dim, cap, cand_idx, slot_start), ...).
+  ``nconmax`` is the active-contact budget per world (the reference's
+  ``nconmax`` capacity knob, io.py:1316 `_default_nconmax`).  The
+  reference shares one runtime pool of ``nconmax`` slots across all pair
+  types; a static per-class split cannot know which class will fill at
+  runtime, so every class gets the full budget (bounded by its candidate
+  count) — any class can hold ``nconmax`` actives, exactly the shared-pool
+  guarantee.  Returns ((dim, cap, cand_idx, slot_start), ...).
   """
-  ncand = len(con_dim)
   classes = []
   slot = 0
   for dim in sorted(set(int(x) for x in con_dim)):
     cand_idx = np.nonzero(con_dim == dim)[0].astype(np.int32)
     n = len(cand_idx)
-    cap = min(n, max(1, int(np.ceil(nconmax * n / max(ncand, 1)))))
+    cap = min(n, max(1, int(nconmax)))
     classes.append((dim, cap, cand_idx, slot))
     slot += cap
   return tuple(classes)

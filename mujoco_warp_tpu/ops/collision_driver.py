@@ -257,10 +257,14 @@ def _narrowphase_candidates(m: types.Model, d: types.Data):
         fn = collision_convex.make_convex_collider(int(t1), int(t2))
     g1 = m.pair_geom1[idx]
     g2 = m.pair_geom2[idx]
-    dist, pos, normal = fn(m, d, g1, g2)  # (k, n), (k, n, 3), (k, n, 3)
+    out = fn(m, d, g1, g2)  # (k, n), (k, n, 3), (k, n, 3)[, (k, n, 3, 3)]
+    dist, pos, normal = out[:3]
     k = dist.shape[0]
-    frame = math.make_frame(normal.reshape(-1, 3)).reshape(
-        k, len(idx), 3, 3)
+    if len(out) == 4:  # collider supplies the full contact frame
+      frame = out[3]
+    else:
+      frame = math.make_frame(normal.reshape(-1, 3)).reshape(
+          k, len(idx), 3, 3)
     dist_slots.append(dist.reshape(-1))
     pos_slots.append(pos.reshape(-1, 3))
     frame_slots.append(frame.reshape(-1, 3, 3))

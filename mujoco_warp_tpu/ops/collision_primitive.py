@@ -77,8 +77,20 @@ def plane_capsule(m, d, g1, g2):
   d2, p2 = _plane_sphere_point(n, p_pos, c_pos - seg, r)
   dist = jnp.stack([d1, d2])
   pos = jnp.stack([p1, p2])
-  nrm = jnp.stack([n, n])
-  return dist, pos, nrm
+  # contact frame tangent aligned with the capsule axis (reference:
+  # collision_primitive_core.py:277-290) — with a pyramidal cone the
+  # tangent orientation is physical, so this must match MuJoCo exactly
+  b = axis - n * jnp.sum(n * axis, axis=-1, keepdims=True)
+  b_norm = jnp.linalg.norm(b, axis=-1, keepdims=True)
+  fallback = jnp.where(
+      jnp.abs(n[:, 1:2]) < 0.5,
+      jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], n.dtype), n.shape),
+      jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], n.dtype), n.shape))
+  b = jnp.where(b_norm < 0.5, fallback, b / jnp.maximum(b_norm, 1e-12))
+  c = jnp.cross(n, b)
+  frame = jnp.stack([n, b, c], axis=-2)  # (n, 3, 3)
+  frames = jnp.stack([frame, frame])  # (2, n, 3, 3)
+  return dist, pos, jnp.stack([n, n]), frames
 
 
 def plane_ellipsoid(m, d, g1, g2):

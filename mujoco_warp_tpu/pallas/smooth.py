@@ -35,7 +35,17 @@ def supported(m: types.Model, d: types.Data) -> bool:
   return vmem < _VMEM_BUDGET
 
 
-def _make_kernel(m: types.Model, dtype):
+def mass_chain_core(m: types.Model, dtype, ci, cdof, qv, armature,
+                    gravity):
+  """crb → qM → Cholesky → com_vel → rne on one world tile, lanes-last.
+
+  Pure function over VMEM values shared by the standalone mass-chain
+  kernel and the fused whole-step kernel (pallas/fused.py).
+  ci: list of (36, W) per body; cdof: list of (6, W) per dof; qv: list of
+  (1, W) per dof; armature (nv, 1); gravity (3, 1) or (3, W).
+  Returns (qM (nv,nv,W), L (nv,nv,W), cvel list (6,W), cdof_dot list,
+  bias (nv, W)).
+  """
   nb, nv = m.nbody, m.nv
   dof_bodyid = tuple(int(x) for x in m.dof_bodyid)
   subtree = m.tree.subtree_mask.astype(np.float32)  # (nb, nb)
@@ -51,24 +61,9 @@ def _make_kernel(m: types.Model, dtype):
   bd_nz = [np.nonzero(body_dof[b])[0] for b in range(nb)]
   ds_nz = [np.nonzero(dof_subtree[i])[0] for i in range(nv)]
   cm_nz = [np.nonzero(cdofdot_m[i])[0] for i in range(nv)]
-  anc_nz = [np.nonzero(ancestor[i])[0] for i in range(nv)]
 
-  def kernel(cinert_ref, cdof_ref, qvel_ref, armature_ref, gravity_ref,
-             qM_out, qLD_out, cvel_out, cdofdot_out, bias_out):
-    # all values stay 2D (rows, W): Mosaic cannot shape-cast the sublane
-    # dim across ranks, so 6x6/6-blocks are addressed by static slices and
-    # per-tree sums unroll over the static sparsity lists (the analog of
-    # the reference's per-branch kernels)
-    ci2 = cinert_ref[:]         # (nb*36, W)
-    cdof2 = cdof_ref[:]         # (nv*6, W)
-    qvel = qvel_ref[:]          # (nv, W)
-    W = qvel.shape[-1]
-    armature = armature_ref[:]  # (nv, 1)
-    gravity = gravity_ref[:]    # (3, 1)
-
-    ci = [ci2[36 * b:36 * (b + 1)] for b in range(nb)]     # (36, W) each
-    cdof = [cdof2[6 * i:6 * (i + 1)] for i in range(nv)]   # (6, W) each
-    qv = [qvel[i:i + 1] for i in range(nv)]                # (1, W) each
+  W = qv[0].shape[-1]
+  if True:
 
     def cross3(a, b):  # (3, W) each
       return jnp.concatenate([
@@ -163,7 +158,27 @@ def _make_kernel(m: types.Model, dtype):
         acc = acc + cfrc[b]
       bias.append(jnp.sum(acc * cdof[i], axis=0, keepdims=True))
     bias = jnp.concatenate(bias, axis=0)
+  return qM, L, cvel, cdof_dot, bias
 
+
+def _make_kernel(m: types.Model, dtype):
+  nb, nv = m.nbody, m.nv
+
+  def kernel(cinert_ref, cdof_ref, qvel_ref, armature_ref, gravity_ref,
+             qM_out, qLD_out, cvel_out, cdofdot_out, bias_out):
+    # all values stay 2D (rows, W): Mosaic cannot shape-cast the sublane
+    # dim across ranks, so 6x6/6-blocks are addressed by static slices and
+    # per-tree sums unroll over the static sparsity lists (the analog of
+    # the reference's per-branch kernels)
+    ci2 = cinert_ref[:]         # (nb*36, W)
+    cdof2 = cdof_ref[:]         # (nv*6, W)
+    qvel = qvel_ref[:]          # (nv, W)
+    W = qvel.shape[-1]
+    ci = [ci2[36 * b:36 * (b + 1)] for b in range(nb)]     # (36, W) each
+    cdof = [cdof2[6 * i:6 * (i + 1)] for i in range(nv)]   # (6, W) each
+    qv = [qvel[i:i + 1] for i in range(nv)]                # (1, W) each
+    qM, L, cvel, cdof_dot, bias = mass_chain_core(
+        m, dtype, ci, cdof, qv, armature_ref[:], gravity_ref[:])
     qM_out[:] = qM.reshape(nv * nv, W)
     qLD_out[:] = L.reshape(nv * nv, W)
     cvel_out[:] = jnp.concatenate(cvel, axis=0)

@@ -119,35 +119,21 @@ def _chol_solve_tile(L, b, nv):
   return jnp.stack(xs, axis=0)
 
 
-def _make_kernel(m: types.Model, dtype):
-  nv, nefc = m.nv, m.nefc
+def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
+               qacc_in, w_eq, w_fri, tol, ls_tol, meaninertia, launder):
+  """Newton solve on one world tile, lanes-last (reference solver.py:3715).
+
+  Pure function over VMEM values so both the standalone solver kernel and
+  the fused whole-step kernel (pallas/fused.py) share it.  ``launder(x,
+  row)`` round-trips a (1, W) scalar through scratch to normalize Mosaic
+  layouts.  Returns (qacc, force, niter_f32).
+  """
+  nv, nefc = m.nv, J.shape[0]
   iterations = int(m.opt.iterations)
   ls_iterations = int(m.opt.ls_iterations)
-
-  def kernel(J_ref, D_ref, aref_ref, fl_ref, M_ref, qfrc_smooth_ref,
-             qacc0_ref, w_eq_ref, w_fri_ref, tol_ref, ls_tol_ref,
-             meaninertia_ref, qacc_out, force_out, qfrc_c_out,
-             niter_out, scr_ref):
-    def _launder(x, row):
-      # normalize the Mosaic layout of a (1, W) per-world scalar by
-      # round-tripping through VMEM scratch: reduction results carry
-      # lane-replicated layouts that cannot enter loop carries alongside
-      # concrete ones (relayout/sublane-broadcast is unimplemented)
-      scr_ref[row:row + 1, :] = x
-      return scr_ref[row:row + 1, :]
-    J = J_ref[:]          # (nefc, nv, W)
-    D = D_ref[:]          # (nefc, W)
-    aref = aref_ref[:]
-    fl = fl_ref[:]
-    M = M_ref[:]          # (nv, nv, W)
-    qfrc_smooth = qfrc_smooth_ref[:]  # (nv, W)
-    qacc_in = qacc0_ref[:]
-    w_eq = w_eq_ref[:]    # (nefc, 1)
-    w_fri = w_fri_ref[:]
+  if True:
+    _launder = launder
     w_ql = 1.0 - w_eq - w_fri
-    tol = tol_ref[0, 0]
-    ls_tol = ls_tol_ref[0, 0]
-    meaninertia = meaninertia_ref[0, 0]
     rescale = 1.0 / (meaninertia * float(nv))
     rf = fl / jnp.maximum(D, _MINVAL)
 
@@ -399,11 +385,33 @@ def _make_kernel(m: types.Model, dtype):
     done0 = _launder(zrep, 3)
     carry = (qacc_in, Ma, Jaref, force, search, niter0, done0)
     carry = jax.lax.while_loop(newton_cond, newton_body, carry)
-    qacc_f, force_f, niter_f = carry[0], carry[3], carry[5]
+    return carry[0], carry[3], carry[5]
+
+
+def _make_kernel(m: types.Model, dtype):
+  nefc = m.nefc
+
+  def kernel(J_ref, D_ref, aref_ref, fl_ref, M_ref, qfrc_smooth_ref,
+             qacc0_ref, w_eq_ref, w_fri_ref, tol_ref, ls_tol_ref,
+             meaninertia_ref, qacc_out, force_out, qfrc_c_out,
+             niter_out, scr_ref):
+    def _launder(x, row):
+      # normalize the Mosaic layout of a (1, W) per-world scalar by
+      # round-tripping through VMEM scratch: reduction results carry
+      # lane-replicated layouts that cannot enter loop carries alongside
+      # concrete ones (relayout/sublane-broadcast is unimplemented)
+      scr_ref[row:row + 1, :] = x
+      return scr_ref[row:row + 1, :]
+
+    J = J_ref[:]          # (nefc, nv, W)
+    qacc_f, force_f, niter_f = solve_core(
+        m, dtype, J, D_ref[:], aref_ref[:], fl_ref[:], M_ref[:],
+        qfrc_smooth_ref[:], qacc0_ref[:], w_eq_ref[:], w_fri_ref[:],
+        tol_ref[0, 0], ls_tol_ref[0, 0], meaninertia_ref[0, 0], _launder)
 
     qacc_out[:] = qacc_f
     force_out[:] = force_f
-    qfrc_c_out[:] = JT_vec(force_f)
+    qfrc_c_out[:] = jnp.sum(J * force_f[:, None, :], axis=0)
     niter_out[:] = niter_f.astype(jnp.int32)
 
   return kernel

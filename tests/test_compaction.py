@@ -26,6 +26,16 @@ def spheres():
   return mjm, mjd
 
 
+def _compacting_budget(mjm) -> int:
+  """A budget that engages compaction: below the largest condim class
+  (each class gets min(n_class, nconmax) slots) but above the scene's
+  active-contact count."""
+  m_full = io.put_model(mjm)
+  cand_dim = np.asarray(m_full.con_dim)
+  largest = max(np.sum(cand_dim == d) for d in set(cand_dim.tolist()))
+  return max(8, int(largest) - 1)
+
+
 def test_compacted_step_matches_lossless(spheres):
   mjm, mjd = spheres
   m_full = io.put_model(mjm)
@@ -33,7 +43,7 @@ def test_compacted_step_matches_lossless(spheres):
   d_full = jax.jit(lambda dd: fwd.step(m_full, dd))(d_full)
 
   # generous budget: no overflow, physics must match the lossless path
-  m_c = io.put_model(mjm, nconmax=max(8, m_full.ncand // 2))
+  m_c = io.put_model(mjm, nconmax=_compacting_budget(mjm))
   assert m_c.con_compact and m_c.ncon < m_c.ncand
   d_c = io.put_data(mjm, mjd, m_c)
   d_c = jax.jit(lambda dd: fwd.step(m_c, dd))(d_c)
@@ -66,7 +76,7 @@ def test_overflow_flag_and_truncation(spheres):
 
 def test_batched_compaction_per_world(spheres):
   mjm, mjd = spheres
-  m_c = io.put_model(mjm, nconmax=max(8, io.put_model(mjm).ncand // 2))
+  m_c = io.put_model(mjm, nconmax=_compacting_budget(mjm))
   d = io.put_data(mjm, mjd, m_c, nworld=4)
   # perturb worlds differently: different active sets per world
   qpos = np.array(d.qpos)  # writable host copy
