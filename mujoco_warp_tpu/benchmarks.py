@@ -62,12 +62,13 @@ def load_humanoid_benchmark():
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def build(mjm, nworld: int, seed: int = 0, nconmax=24):
+def build(mjm, nworld: int, seed: int = 0, nconmax={1: 8, 3: 16}):
   """Model + randomized batched Data.
 
-  ``nconmax`` defaults to the reference humanoid benchmark's capacity
-  (reference benchmarks/humanoid/__init__.py: nconmax=24, njmax=64) so the
-  constraint system is sized apples-to-apples.
+  ``nconmax`` defaults to 24 total active-contact slots split per condim
+  class (8 frictionless + 16 pyramidal) — the same total budget as the
+  reference humanoid benchmark (benchmarks/humanoid/__init__.py:
+  nconmax=24, njmax=64), sized apples-to-apples.
   """
   m = io.put_model(mjm, nconmax=nconmax)
   d = io.make_data(m, nworld=nworld)

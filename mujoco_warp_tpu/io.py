@@ -197,16 +197,23 @@ def _con_classes(con_dim: np.ndarray, nconmax) -> Tuple:
   ``nconmax`` capacity knob, io.py:1316 `_default_nconmax`).  The
   reference shares one runtime pool of ``nconmax`` slots across all pair
   types; a static per-class split cannot know which class will fill at
-  runtime, so every class gets the full budget (bounded by its candidate
-  count) — any class can hold ``nconmax`` actives, exactly the shared-pool
-  guarantee.  Returns ((dim, cap, cand_idx, slot_start), ...).
+  runtime, so by default every class gets the full budget (bounded by
+  its candidate count) — any class can hold ``nconmax`` actives, exactly
+  the shared-pool guarantee.  Scenes that know their contact profile can
+  pass a dict ``{condim: budget}`` for tighter rows (the analog of the
+  reference benchmarks' hand-tuned nconmax/njmax per scene); classes not
+  named in the dict get their candidate count (lossless).
+  Returns ((dim, cap, cand_idx, slot_start), ...).
   """
   classes = []
   slot = 0
   for dim in sorted(set(int(x) for x in con_dim)):
     cand_idx = np.nonzero(con_dim == dim)[0].astype(np.int32)
     n = len(cand_idx)
-    cap = min(n, max(1, int(nconmax)))
+    if isinstance(nconmax, dict):
+      cap = min(n, max(1, int(nconmax.get(dim, n))))
+    else:
+      cap = min(n, max(1, int(nconmax)))
     classes.append((dim, cap, cand_idx, slot))
     slot += cap
   return tuple(classes)
@@ -216,13 +223,14 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
               nconmax: Optional[int] = None) -> types.Model:
   """Convert a mujoco.MjModel into a device Model (reference: io.py:287).
 
-  ``nconmax``: optional per-world active-contact budget.  When set (and
-  smaller than the candidate count), the collision driver compacts active
-  candidates into ``nconmax`` slots each step, bounding the constraint
-  system like the reference's runtime capacity knobs (io.py:1712
-  make_data(nconmax, njmax)); overflowing contacts are dropped and flagged
-  in ``d.overflow``.  When unset, every candidate keeps a dedicated slot
-  (lossless).
+  ``nconmax``: optional per-world active-contact budget — an int (every
+  condim class gets the full budget) or a ``{condim: budget}`` dict for
+  scene-tuned rows.  When a class budget is smaller than its candidate
+  count, the collision driver compacts active candidates into the class
+  slots each step, bounding the constraint system like the reference's
+  runtime capacity knobs (io.py:1712 make_data(nconmax, njmax));
+  overflowing contacts are dropped and flagged in ``d.overflow``.  When
+  unset, every candidate keeps a dedicated slot (lossless).
   """
   # ---- validation (reference: io.py:312-418)
   if mjm.opt.solver == mujoco.mjtSolver.mjSOL_PGS:
@@ -247,6 +255,7 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
       magnetic=_jnp(mjm.opt.magnetic, dtype),
       density=_jnp(mjm.opt.density, dtype),
       viscosity=_jnp(mjm.opt.viscosity, dtype),
+      sleep_tolerance=_jnp(mjm.opt.sleep_tolerance, dtype),
       o_margin=_jnp(mjm.opt.o_margin, dtype),
       o_solref=_jnp(mjm.opt.o_solref, dtype),
       o_solimp=_jnp(mjm.opt.o_solimp, dtype),
@@ -312,6 +321,7 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
       body_geomadr=mjm.body_geomadr.copy(),
       body_geomnum=mjm.body_geomnum.copy(),
       body_treeid=mjm.body_treeid.copy(),
+      tree_sleep_policy=mjm.tree_sleep_policy.copy(),
       body_pos=_jnp(mjm.body_pos, dtype),
       body_quat=_jnp(mjm.body_quat, dtype),
       body_ipos=_jnp(mjm.body_ipos, dtype),
@@ -342,6 +352,7 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
       dof_jntid=mjm.dof_jntid.copy(),
       dof_parentid=mjm.dof_parentid.copy(),
       dof_treeid=mjm.dof_treeid.copy(),
+      dof_length=mjm.dof_length.copy(),
       dof_solref=_jnp(mjm.dof_solref, dtype),
       dof_solimp=_jnp(mjm.dof_solimp, dtype),
       dof_frictionloss=_jnp(mjm.dof_frictionloss, dtype),
@@ -610,6 +621,7 @@ def _empty_data(m: types.Model, dtype=np.float32) -> types.Data:
       nl_active=jnp.zeros((), jnp.int32),
       ncon_active=jnp.zeros((), jnp.int32),
       nefc_active=jnp.zeros((), jnp.int32),
+      tree_asleep=jnp.full((m.ntree,), types.K_AWAKE, jnp.int32),
       nisland=jnp.zeros((), jnp.int32),
       tree_island=jnp.full((m.ntree,), -1, jnp.int32),
       dof_island=jnp.full((m.nv,), -1, jnp.int32),
@@ -641,9 +653,45 @@ def put_data(mjm: mujoco.MjModel, mjd: mujoco.MjData, m: types.Model,
       qacc=_jnp(mjd.qacc, dtype),
       history=_jnp(mjd.history, dtype) if m.nhistory else d.history,
   )
+  if m.ntree and hasattr(mjd, 'tree_asleep'):
+    d = d.replace(tree_asleep=jnp.asarray(
+        _asleep_cycles_to_labels(np.asarray(mjd.tree_asleep))))
   if nworld is not None:
     d = jax.tree.map(lambda x: jnp.broadcast_to(x, (nworld,) + x.shape), d)
   return d
+
+
+def _asleep_cycles_to_labels(asleep: np.ndarray) -> np.ndarray:
+  """Convert MuJoCo C's sleep-cycle pointers into group labels (smallest
+  member tree id); awake counters (< 0) pass through unchanged."""
+  out = asleep.astype(np.int32).copy()
+  n = len(asleep)
+  for t in range(n):
+    if asleep[t] < 0:
+      continue
+    smallest, cur = t, t
+    for _ in range(n + 1):
+      nxt = int(asleep[cur])
+      if nxt < 0 or nxt >= n:
+        break
+      smallest = min(smallest, nxt)
+      cur = nxt
+      if cur == t:
+        break
+    out[t] = smallest
+  return out
+
+
+def _asleep_labels_to_cycles(labels: np.ndarray) -> np.ndarray:
+  """Inverse of _asleep_cycles_to_labels: link each sleep group into an
+  ascending-id cycle (the C encoding, reference sleep.py:889)."""
+  out = labels.astype(np.int32).copy()
+  n = len(labels)
+  for lab in sorted(set(int(x) for x in labels if x >= 0)):
+    members = sorted(int(t) for t in range(n) if labels[t] == lab)
+    for i, t in enumerate(members):
+      out[t] = members[(i + 1) % len(members)]
+  return out
 
 
 def get_data_into(mjd: mujoco.MjData, mjm: mujoco.MjModel, d: types.Data,
@@ -652,6 +700,9 @@ def get_data_into(mjd: mujoco.MjData, mjm: mujoco.MjModel, d: types.Data,
   if d.qpos.ndim == 2:
     d = jax.tree.map(lambda x: x[world], d)
   mjd.time = float(d.time)
+  if mjm.ntree and hasattr(mjd, 'tree_asleep') and d.tree_asleep is not None:
+    mjd.tree_asleep[:] = _asleep_labels_to_cycles(
+        np.asarray(d.tree_asleep))
   mjd.qpos[:] = np.asarray(d.qpos, np.float64)
   mjd.qvel[:] = np.asarray(d.qvel, np.float64)
   if mjm.na:

@@ -21,6 +21,7 @@ from mujoco_warp_tpu.ops import actuation as act_ops
 from mujoco_warp_tpu.ops import collision_driver, constraint, history
 from mujoco_warp_tpu.ops import island
 from mujoco_warp_tpu.ops import math, passive, sensor, smooth, solver
+from mujoco_warp_tpu.ops import sleep as sleep_ops
 from mujoco_warp_tpu.ops import support
 
 _DT = types.DynType
@@ -60,7 +61,12 @@ def fwd_position(m: types.Model, d: types.Data,
     d = smooth.factor_m(m, d)
   if m.opt.run_collision_detection:
     d = collision_driver.collision(m, d)
+    if sleep_ops.enabled(m):
+      d = sleep_ops.wake_collision(m, d)
   d = constraint.make_constraint(m, d)
+  if sleep_ops.enabled(m):
+    d = sleep_ops.wake_equality(m, d)
+    d = sleep_ops.mask_sleeping(m, d)
   d = island.island(m, d)
   d = smooth.transmission(m, d)
   return d
@@ -555,6 +561,8 @@ def rungekutta4(m: types.Model, d: types.Data) -> types.Data:
 
 def _forward(m: types.Model, d: types.Data) -> types.Data:
   """Forward dynamics pipeline (reference: forward.py:1342)."""
+  if sleep_ops.enabled(m):
+    d = sleep_ops.wake(m, d)
   d = fwd_position(m, d)
   d = sensor.sensor_pos(m, d)
   d = sensor.energy_pos(m, d)
@@ -571,16 +579,23 @@ def _forward(m: types.Model, d: types.Data) -> types.Data:
 def _step(m: types.Model, d: types.Data) -> types.Data:
   """One physics step (reference: forward.py:1369)."""
   d = _forward(m, d)
+  if sleep_ops.enabled(m):
+    awake = sleep_ops.dof_awake_mask(m, d)
+    d = d.replace(qacc=jnp.where(awake, d.qacc, 0.0))
   integ = m.opt.integrator
   if integ == types.IntegratorType.EULER:
-    return euler(m, d)
+    d = euler(m, d)
   elif integ == types.IntegratorType.RK4:
-    return rungekutta4(m, d)
+    d = rungekutta4(m, d)
   elif integ in (types.IntegratorType.IMPLICIT,
                  types.IntegratorType.IMPLICITFAST):
     from mujoco_warp_tpu.ops import derivative
-    return derivative.implicit(m, d)
-  raise NotImplementedError(f'integrator {integ}')
+    d = derivative.implicit(m, d)
+  else:
+    raise NotImplementedError(f'integrator {integ}')
+  if sleep_ops.enabled(m):
+    d = sleep_ops.sleep(m, d)
+  return d
 
 
 def step(m: types.Model, d: types.Data) -> types.Data:
@@ -595,6 +610,8 @@ def step(m: types.Model, d: types.Data) -> types.Data:
   use_mass_chain = psmooth.supported(m, d)
 
   def pre(dd):
+    if sleep_ops.enabled(m):
+      dd = sleep_ops.wake(m, dd)
     if use_mass_chain:
       # position stages up to the fused crb/factor/com_vel/rne kernel
       dd = smooth.kinematics(m, dd)
@@ -616,7 +633,15 @@ def step(m: types.Model, d: types.Data) -> types.Data:
     # stages after the mass chain (constraint assembly uses cvel/cdof_dot)
     if m.opt.run_collision_detection:
       dd = collision_driver.collision(m, dd)
+      if sleep_ops.enabled(m):
+        dd = sleep_ops.wake_collision(m, dd)
     dd = constraint.make_constraint(m, dd)
+    if sleep_ops.enabled(m):
+      dd = sleep_ops.wake_equality(m, dd)
+      dd = sleep_ops.mask_sleeping(m, dd)
+    # islands on this path too (the reference-order path computes them in
+    # fwd_position; keeping both paths identical avoids stale labels)
+    dd = island.island(m, dd)
     dd = smooth.transmission(m, dd)
     dd = sensor.sensor_pos(m, dd)
     dd = sensor.energy_pos(m, dd)
@@ -660,6 +685,9 @@ def step(m: types.Model, d: types.Data) -> types.Data:
       d = d.replace(qacc_smooth=jax.vmap(
           lambda dd: smooth.solve_m(m, dd, dd.qfrc_smooth))(d))
   d = solver.solve_batched(m, d)
+  if sleep_ops.enabled(m):
+    d = jax.vmap(lambda dd: dd.replace(
+        qacc=jnp.where(sleep_ops.dof_awake_mask(m, dd), dd.qacc, 0.0)))(d)
 
   # integrate: batched Euler-damp solve when applicable
   dsbl = m.opt.disableflags
@@ -673,8 +701,12 @@ def step(m: types.Model, d: types.Data) -> types.Data:
     dt = m.opt.timestep.astype(d.qpos.dtype)
     qacc_int = plinalg.damped_solve_batched(m, d.qM, m.dof_damping, dt,
                                             d.qacc)
-    return jax.vmap(lambda dd, qi: _advance(m, dd, qi))(d, qacc_int)
-  return jax.vmap(post)(d)
+    d = jax.vmap(lambda dd, qi: _advance(m, dd, qi))(d, qacc_int)
+  else:
+    d = jax.vmap(post)(d)
+  if sleep_ops.enabled(m):
+    d = jax.vmap(lambda dd: sleep_ops.sleep(m, dd))(d)
+  return d
 
 
 @_batched

@@ -206,6 +206,8 @@ def supported(m: types.Model, d: types.Data) -> bool:
 def supported_features(m: types.Model) -> bool:
   o = m.opt
   dsbl = o.disableflags
+  if o.enableflags & types.EnableBit.SLEEP:
+    return False
   if o.integrator != types.IntegratorType.EULER:
     return False
   if o.solver != types.SolverType.NEWTON:

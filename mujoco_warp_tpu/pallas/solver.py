@@ -382,7 +382,13 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
     # semantics), so the layout provenance survives canonicalization.
     zrep = 0.0 * jnp.sum(qacc_in, axis=0, keepdims=True)
     niter0 = _launder(zrep, 2)
-    done0 = _launder(zrep, 3)
+    # stable-state fast path (reference solver.py:3578 grad_scale): worlds
+    # whose warmstart already satisfies the tolerance skip the Newton loop;
+    # a whole-converged lane tile skips it at the while cond, which is the
+    # common case for settled scenes with warmstart.
+    gnorm0 = rescale * jnp.sqrt(jnp.maximum(
+        jnp.sum(grad * grad, 0, keepdims=True), 0.0))
+    done0 = _launder((gnorm0 < tol).astype(dtype) + 0.0 * zrep, 3)
     carry = (qacc_in, Ma, Jaref, force, search, niter0, done0)
     carry = jax.lax.while_loop(newton_cond, newton_body, carry)
     return carry[0], carry[3], carry[5]

@@ -252,6 +252,10 @@ class OverflowType(enum.IntFlag):
 # direct (negative) parametrization.
 NREF = 2
 NIMP = 5
+# sleeping (reference types.py:29): minimum quiescent steps before sleeping.
+# Value mirrors mujoco.mjMINAWAKE (types.py stays mujoco-import-free).
+MJ_MINAWAKE = 10
+K_AWAKE = -(1 + MJ_MINAWAKE)  # tree_asleep value for a fully awake tree
 
 
 @pytree_dataclass
@@ -271,6 +275,7 @@ class Option:
   magnetic: Array  # (3,)
   density: Array  # ()
   viscosity: Array  # ()
+  sleep_tolerance: Array  # () velocity threshold for tree sleep
   # contact override (EnableBit.OVERRIDE)
   o_margin: Array  # ()
   o_solref: Array  # (NREF,)
@@ -465,6 +470,7 @@ class Model:
   body_geomadr: np.ndarray = field(static=True, default=None)
   body_geomnum: np.ndarray = field(static=True, default=None)
   body_treeid: np.ndarray = field(static=True, default=None)
+  tree_sleep_policy: np.ndarray = field(static=True, default=None)
   body_pos: Array = None  # (nbody, 3)
   body_quat: Array = None  # (nbody, 4)
   body_ipos: Array = None  # (nbody, 3)
@@ -497,6 +503,7 @@ class Model:
   dof_jntid: np.ndarray = field(static=True, default=None)
   dof_parentid: np.ndarray = field(static=True, default=None)
   dof_treeid: np.ndarray = field(static=True, default=None)
+  dof_length: np.ndarray = field(static=True, default=None)
   dof_solref: Array = None  # (nv, NREF)
   dof_solimp: Array = None  # (nv, NIMP)
   dof_frictionloss: Array = None  # (nv,)
@@ -770,6 +777,16 @@ class Data:
   nl_active: Array = None  # ()
   ncon_active: Array = None  # ()
   nefc_active: Array = None  # ()
+
+  # ---------------------------------------------------------------- sleeping
+  # tree_asleep semantics (divergence from the reference's cycle
+  # linked-list, sleep.py:889 _build_cycles): negative = awake counter
+  # (K_AWAKE = fully awake, incremented toward -1 = ready-to-sleep while
+  # the tree stays quiescent); >= 0 = asleep, value = smallest tree id of
+  # the island it fell asleep with (the group label; waking any member
+  # wakes the whole label group — equivalent observable behavior to the
+  # reference's wake-the-cycle, but vectorizes as a label compare).
+  tree_asleep: Array = None  # (ntree,) int32
 
   # ----------------------------------------------------------------- islands
   nisland: Array = None  # () int32
