@@ -525,6 +525,80 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
   return m
 
 
+# fields whose values gate *static program structure* on the host — they
+# cannot become per-world tracers (ops read them with jax.device_get)
+_NO_BATCH = frozenset({
+    'geom_size', 'wrap_prm', 'sensor_cutoff', 'opt.timestep',
+})
+# geom-level contact params are hoisted into per-candidate constants at
+# put_model time; batching any of them re-derives the cand_* tables
+_GEOM_CONTACT = ('geom_friction', 'geom_solref', 'geom_solimp',
+                 'geom_margin', 'geom_gap', 'geom_solmix', 'geom_priority')
+
+
+def batch_model(m: types.Model, nworld: int, fields: dict) -> types.Model:
+  """Per-world batched model parameters (domain randomization).
+
+  The reference supports ``(*, ...)`` leading-dim model fields broadcast
+  per world via ``worldid %% shape[0]`` (types.py:871-879, io.py:287-310).
+  Here the same capability is JAX-native: each named field gets a leading
+  ``nworld`` axis (inputs with a divisor batch size B are tiled, matching
+  the ``%%`` semantics), ``Model.batch_fields`` records the names, and
+  ``forward.step`` vmaps the step over those leaves.
+
+  ``fields`` maps (possibly ``opt.``-dotted) names to ``(B, ...)`` arrays.
+  Batching a geom contact param (friction/solref/...) also re-derives the
+  per-candidate mixed tables (cand_*), so contacts see the randomization.
+  """
+  updates = {}
+  names = []
+  for name, val in fields.items():
+    if name in _NO_BATCH:
+      raise NotImplementedError(
+          f'{name} gates static host-side structure and cannot be '
+          'batched per world')
+    base = types.get_model_field(m, name)
+    if base is None or isinstance(base, (int, float, tuple)):
+      raise ValueError(f'{name} is not a batchable array field')
+    val = jnp.asarray(np.asarray(val, np.asarray(base).dtype))
+    if val.shape[1:] != tuple(np.shape(base)):
+      raise ValueError(
+          f'{name}: expected trailing shape {np.shape(base)}, '
+          f'got {val.shape[1:]}')
+    b = val.shape[0]
+    if nworld % b:
+      raise ValueError(f'{name}: batch {b} does not divide nworld {nworld}')
+    if b != nworld:
+      val = jnp.tile(val, (nworld // b,) + (1,) * (val.ndim - 1))
+    updates[name] = val
+    names.append(name)
+
+  geom_batched = [n for n in names if n in _GEOM_CONTACT]
+  if geom_batched and m.ncand:
+    cp = m.con_pair
+    g1 = m.pair_geom1[cp]
+    g2 = m.pair_geom2[cp]
+    expl = m.pair_explicit[cp]
+    dtype = np.asarray(m.cand_friction).dtype
+
+    def mix_one(*gvals):
+      mm = types.set_model_fields(m, dict(zip(geom_batched, gvals)))
+      solref, solreffriction, solimp, margin, gap, friction = \
+          collision_driver._mix_params(mm, g1, g2, expl, dtype)
+      return (friction, solref, solreffriction, solimp,
+              (margin - gap).astype(dtype), margin.astype(dtype))
+
+    out = jax.vmap(mix_one)(*[updates[n] for n in geom_batched])
+    for key, val in zip(('cand_friction', 'cand_solref',
+                         'cand_solreffriction', 'cand_solimp',
+                         'cand_includemargin', 'cand_margin'), out):
+      updates[key] = val
+      names.append(key)
+
+  m = types.set_model_fields(m, updates)
+  return m.replace(batch_fields=tuple(sorted(names)))
+
+
 def make_data(m: types.Model, nworld: Optional[int] = None,
               dtype=np.float32) -> types.Data:
   """Allocate a fresh Data at qpos0 (reference: io.py:1712 `make_data`)."""

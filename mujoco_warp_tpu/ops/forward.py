@@ -513,7 +513,8 @@ def euler(m: types.Model, d: types.Data) -> types.Data:
   """Semi-implicit Euler w/ implicit joint damping (reference: 388)."""
   dsbl = m.opt.disableflags
   damped = not (dsbl & (types.DisableBit.EULERDAMP | types.DisableBit.DAMPER))
-  if damped and bool(np.any(np.asarray(jax.device_get(m.dof_damping)) > 0)):
+  if damped and types.concrete_or(
+      m.dof_damping, lambda a: bool(np.any(a > 0)), True):
     dtype = d.qpos.dtype
     dt = m.opt.timestep.astype(dtype)
     M = d.qM + jnp.diag(dt * m.dof_damping)
@@ -602,6 +603,25 @@ def step(m: types.Model, d: types.Data) -> types.Data:
   """One physics step; batched Data takes the stage-split fast path so the
   mass-matrix chain and the Newton solve run as Pallas world-tile
   megakernels."""
+  if m.batch_fields:
+    # per-world batched model params (io.batch_model): vmap the step over
+    # the batched leaves; unbatched fields stay concrete in the closure
+    # (reference: (*, ...) fields w/ worldid % broadcast, types.py:871)
+    if d.qpos.ndim != 2:
+      raise ValueError('a model with batch_fields needs batched Data')
+    names = m.batch_fields
+    vals = tuple(types.get_model_field(m, n) for n in names)
+    for n, v in zip(names, vals):
+      if v.shape[0] != d.qpos.shape[0]:
+        raise ValueError(
+            f'batched field {n} has batch {v.shape[0]} != '
+            f'nworld {d.qpos.shape[0]}')
+    m0 = m.replace(batch_fields=())
+
+    def one(dd, *vs):
+      return _step(types.set_model_fields(m0, dict(zip(names, vs))), dd)
+
+    return jax.vmap(one)(d, *vals)
   if d.qpos.ndim != 2:
     return _step(m, d)
 
@@ -694,8 +714,8 @@ def step(m: types.Model, d: types.Data) -> types.Data:
   damped = (m.opt.integrator == types.IntegratorType.EULER and
             not (dsbl & (types.DisableBit.EULERDAMP |
                          types.DisableBit.DAMPER)) and
-            bool(np.any(np.asarray(
-                jax.device_get(m.dof_damping)) > 0)))
+            types.concrete_or(m.dof_damping,
+                              lambda a: bool(np.any(a > 0)), True))
   if damped and plinalg.supported(m, d):
     d = jax.vmap(lambda dd: sensor.sensor_acc(m, dd))(d)
     dt = m.opt.timestep.astype(d.qpos.dtype)

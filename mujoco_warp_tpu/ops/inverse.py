@@ -34,8 +34,8 @@ def _discrete_acc(m: types.Model, d: types.Data) -> jax.Array:
     dsbl = m.opt.disableflags
     damped = not (dsbl & (types.DisableBit.EULERDAMP |
                           types.DisableBit.DAMPER))
-    if damped and bool(np.any(np.asarray(
-        jax.device_get(m.dof_damping)) > 0)):
+    if damped and types.concrete_or(
+        m.dof_damping, lambda a: bool(np.any(a > 0)), True):
       # qacc_continuous = M^-1 (M + dt·diag(damping)) qacc_discrete
       rhs = (d.qM + jnp.diag(dt * m.dof_damping)) @ d.qacc
       return smooth.solve_m(m, d, rhs)

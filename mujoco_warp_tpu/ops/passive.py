@@ -161,15 +161,16 @@ def passive(m: types.Model, d: types.Data) -> types.Data:
           -m.tendon_damping * d.ten_velocity)
 
   no_gravity = bool(dsbl & types.DisableBit.GRAVITY)
-  has_gravcomp = bool(np.any(np.asarray(jax.device_get(m.body_gravcomp)) > 0))
+  has_gravcomp = types.concrete_or(
+      m.body_gravcomp, lambda a: bool(np.any(a > 0)), True)
   if no_gravity or not has_gravcomp:
     qfrc_gravcomp = jnp.zeros((m.nv,), dtype)
   else:
     qfrc_gravcomp = gravcomp(m, d)
 
   # fluid forces only when density/viscosity/wind are set (static check)
-  dens = float(jax.device_get(m.opt.density))
-  visc = float(jax.device_get(m.opt.viscosity))
+  dens = types.concrete_or(m.opt.density, float, 1.0)
+  visc = types.concrete_or(m.opt.viscosity, float, 1.0)
   if dens or visc:
     qfrc_fluid = _fluid(m, d)
   else:

@@ -471,6 +471,8 @@ class Model:
   body_geomnum: np.ndarray = field(static=True, default=None)
   body_treeid: np.ndarray = field(static=True, default=None)
   tree_sleep_policy: np.ndarray = field(static=True, default=None)
+  # names of per-world batched fields (io.batch_model); ('opt.gravity', ...)
+  batch_fields: Tuple[str, ...] = field(static=True, default=())
   body_pos: Array = None  # (nbody, 3)
   body_quat: Array = None  # (nbody, 4)
   body_ipos: Array = None  # (nbody, 3)
@@ -812,3 +814,29 @@ class Data:
 def nworld(d: Data) -> Optional[int]:
   """Batch size of a batched Data, or None if single-world."""
   return d.qpos.shape[0] if d.qpos.ndim == 2 else None
+
+
+def get_model_field(m: "Model", name: str):
+  """Fetch a (possibly dotted ``opt.x``) Model field by name."""
+  if name.startswith('opt.'):
+    return getattr(m.opt, name[4:])
+  return getattr(m, name)
+
+
+def set_model_fields(m: "Model", updates: dict) -> "Model":
+  """Replace (possibly dotted ``opt.x``) Model fields."""
+  opt_up = {k[4:]: v for k, v in updates.items() if k.startswith('opt.')}
+  top = {k: v for k, v in updates.items() if not k.startswith('opt.')}
+  if opt_up:
+    top['opt'] = m.opt.replace(**opt_up)
+  return m.replace(**top)
+
+
+def concrete_or(x, fn, default):
+  """Evaluate ``fn(host_value_of_x)`` when ``x`` is concrete; under a
+  tracer (per-world batched model fields, see ``io.batch_model``) fall
+  back to ``default`` — callers pick the conservative branch that stays
+  correct for every parameter value (e.g. "compute the damping solve")."""
+  if isinstance(x, jax.core.Tracer):
+    return default
+  return fn(np.asarray(jax.device_get(x)))
