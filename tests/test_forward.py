@@ -84,13 +84,15 @@ class TestForwardContacts:
 
   def test_qacc(self, case):
     mjm, mjd, m, d = case
-    assert_close(d.qacc, mjd.qacc, 'qacc', atol=2e-2, rtol=2e-2)
+    # post plane-capsule-frame fix this path holds ~4e-5; assert at the
+    # reference's per-stage bar (forward_test.py:36-42, ~5e-4)
+    assert_close(d.qacc, mjd.qacc, 'qacc', atol=5e-4, rtol=5e-4)
 
 
 class TestStep:
 
-  @pytest.mark.parametrize('fname,tol', [('pendula.xml', 1e-3),
-                                         ('constraints.xml', 5e-3)])
+  @pytest.mark.parametrize('fname,tol', [('pendula.xml', 1e-4),
+                                         ('constraints.xml', 1e-4)])
   def test_trajectory(self, fname, tol):
     """step() tracks mj_step over 100 steps (no contacts)."""
     mjm, mjd, m, d = models.fixture(fname, qpos_noise=0.1, qvel_noise=0.1,
