@@ -29,12 +29,13 @@ def main(argv=None):
   names = args.benchmark or list(BENCHMARKS)
   out_f = open(args.output, 'a') if args.output else None
   for name in names:
-    path, nworld, nstep, overrides = BENCHMARKS[name]
+    path, nworld, nstep, overrides, nconmax = BENCHMARKS[name]
     nworld = args.nworld or nworld
     nstep = args.nstep or nstep
     mjm = mujoco.MjModel.from_xml_path(path)
     try:
-      metrics = harness.run(mjm, nworld=nworld, nstep=nstep)
+      metrics = harness.run(mjm, nworld=nworld, nstep=nstep,
+                            nconmax=nconmax, overrides=overrides)
     except Exception as e:  # record failures, keep sweeping
       metrics = {'error': f'{type(e).__name__}: {e}'}
     rec = {'benchmark': name, **metrics}

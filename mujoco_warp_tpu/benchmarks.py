@@ -62,7 +62,8 @@ def load_humanoid_benchmark():
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def build(mjm, nworld: int, seed: int = 0, nconmax={1: 8, 3: 16}):
+def build(mjm, nworld: int, seed: int = 0, nconmax={1: 8, 3: 16},
+          overrides=()):
   """Model + randomized batched Data.
 
   ``nconmax`` defaults to 24 total active-contact slots split per condim
@@ -71,6 +72,8 @@ def build(mjm, nworld: int, seed: int = 0, nconmax={1: 8, 3: 16}):
   nconmax=24, njmax=64), sized apples-to-apples.
   """
   m = io.put_model(mjm, nconmax=nconmax)
+  if overrides:
+    m = io.override_model(m, list(overrides))
   d = io.make_data(m, nworld=nworld)
   rng = np.random.default_rng(seed)
   qpos = np.asarray(jax.device_get(d.qpos))
@@ -93,7 +96,7 @@ def rollout_fn(m: types.Model, nstep: int):
 
 
 def run(mjm, nworld: int = 8192, nstep: int = 100, seed: int = 0,
-        warmup_steps: int = 10):
+        warmup_steps: int = 10, nconmax='default', overrides=()):
   """Measure steps/s on the default backend. Returns a metrics dict.
 
   The rollout is a host loop of async-dispatched jitted steps (the XLA
@@ -103,7 +106,10 @@ def run(mjm, nworld: int = 8192, nstep: int = 100, seed: int = 0,
   custom-call inside the scan body (tracked; ~14x), so the host loop is
   also the faster harness today.
   """
-  m, d = build(mjm, nworld, seed)
+  if nconmax == 'default':
+    m, d = build(mjm, nworld, seed, overrides=overrides)
+  else:
+    m, d = build(mjm, nworld, seed, nconmax=nconmax, overrides=overrides)
   dt = float(jax.device_get(m.opt.timestep))
 
   # OU exploration noise on ctrl, as the reference's unroll applies around
@@ -156,9 +162,11 @@ def run(mjm, nworld: int = 8192, nstep: int = 100, seed: int = 0,
   steps = nworld * nstep
   steps_per_sec = steps / run_time
   qpos = np.asarray(jax.device_get(d.qpos))
+  overflow = np.asarray(jax.device_get(d.overflow))
   if use_fused:
     qpos = qpos.T  # lanes-last -> world-major
   converged = int(np.sum(np.all(np.isfinite(qpos), axis=-1)))
+  overflow_worlds = int(np.sum(overflow != 0))
   return {
       'jit_duration': jit_duration,
       'run_time': run_time,
@@ -166,6 +174,7 @@ def run(mjm, nworld: int = 8192, nstep: int = 100, seed: int = 0,
       'realtime_factor': steps_per_sec * dt,
       'ns_per_step': 1e9 * run_time / steps,
       'converged_worlds': converged,
+      'overflow_worlds': overflow_worlds,
       'nworld': nworld,
       'nstep': nstep,
       'solver_niter_mean': float(np.mean(jax.device_get(d.solver_niter))),

@@ -99,7 +99,8 @@ def _tree_info(mjm: mujoco.MjModel) -> types.TreeInfo:
 
 
 _EQ_NROW = {int(types.EqType.CONNECT): 3, int(types.EqType.WELD): 6,
-            int(types.EqType.JOINT): 1, int(types.EqType.TENDON): 1}
+            int(types.EqType.JOINT): 1, int(types.EqType.TENDON): 1,
+            int(types.EqType.FLEX): -1}  # -1: flex_edgenum[obj1] rows
 
 
 def _efc_layout(
@@ -113,7 +114,8 @@ def _efc_layout(
   """
   _CT = types.ConstraintType
   adr = 0
-  eq_groups = {t: ([], []) for t in ('connect', 'weld', 'joint', 'tendon')}
+  eq_groups = {t: ([], [])
+               for t in ('connect', 'weld', 'joint', 'tendon', 'flex')}
   efc_type, efc_id = [], []
   for eqid, et in enumerate(mjm.eq_type):
     et = int(et)
@@ -122,10 +124,13 @@ def _efc_layout(
     name = {int(types.EqType.CONNECT): 'connect',
             int(types.EqType.WELD): 'weld',
             int(types.EqType.JOINT): 'joint',
-            int(types.EqType.TENDON): 'tendon'}[et]
+            int(types.EqType.TENDON): 'tendon',
+            int(types.EqType.FLEX): 'flex'}[et]
     eq_groups[name][0].append(eqid)
     eq_groups[name][1].append(adr)
     n = _EQ_NROW[et]
+    if n < 0:  # FLEX: one row per edge of the flex (constraint.py:878)
+      n = int(mjm.flex_edgenum[mjm.eq_obj1id[eqid]])
     efc_type += [int(_CT.EQUALITY)] * n
     efc_id += [eqid] * n
     adr += n
@@ -182,12 +187,74 @@ def _efc_layout(
       tendon_adr=np.asarray(eq_groups['tendon'][1], np.int32),
       fri_dof_id=fri_dof, fri_dof_adr=fri_dof_adr,
       fri_ten_id=fri_ten, fri_ten_adr=fri_ten_adr,
+      flex_id=np.asarray(eq_groups['flex'][0], np.int32),
+      flex_adr=np.asarray(eq_groups['flex'][1], np.int32),
       lim_jnt_id=lim_jnt, lim_jnt_adr=lim_jnt_adr,
       lim_ten_id=lim_ten, lim_ten_adr=lim_ten_adr,
       efc_type=np.asarray(efc_type, np.int32),
       efc_id=np.asarray(efc_id, np.int32),
   )
   return ne, nf, nl, nefc, con_adr, layout
+
+
+def _flex_fields(mjm: mujoco.MjModel, dtype) -> dict:
+  """Flex (deformable) model constants (reference: types.py flex fields).
+
+  v1 scope: *particle* flexes — every vertex is its own centered body with
+  exactly 3 world-aligned slide dofs (what ``flexcomp`` grids compile to);
+  interpolated (trilinear) flexes and vertex-sharing bodies raise.
+  """
+  if not mjm.nflex:
+    return dict(nflex=0, nflexvert=0, nflexedge=0, nflexelem=0)
+  if np.any(mjm.flex_interp != 0):
+    raise NotImplementedError('interpolated (nodal) flexes not supported')
+  if not np.all(mjm.flex_centered):
+    raise NotImplementedError('non-centered flex vertices not supported')
+  vert_dofadr = np.zeros(mjm.nflexvert, np.int32)
+  for v in range(mjm.nflexvert):
+    b = int(mjm.flex_vertbodyid[v])
+    if b < 0:
+      raise NotImplementedError('interpolated flex vertices not supported')
+    if int(mjm.body_dofnum[b]) != 3 or int(mjm.body_jntnum[b]) != 3:
+      raise NotImplementedError(
+          'flex vertex bodies must be particles (3 slide dofs)')
+    jadr = int(mjm.body_jntadr[b])
+    for k in range(3):
+      j = jadr + k
+      if (int(mjm.jnt_type[j]) != int(mujoco.mjtJoint.mjJNT_SLIDE) or
+          not np.allclose(mjm.jnt_axis[j], np.eye(3)[k])):
+        raise NotImplementedError(
+            'flex vertex bodies must use world-aligned slide joints')
+    if not np.allclose(mjm.body_quat[b], [1, 0, 0, 0]):
+      raise NotImplementedError('rotated flex vertex bodies not supported')
+    vert_dofadr[v] = mjm.body_dofadr[b]
+  return dict(
+      nflex=int(mjm.nflex), nflexvert=int(mjm.nflexvert),
+      nflexedge=int(mjm.nflexedge), nflexelem=int(mjm.nflexelem),
+      flex_dim=mjm.flex_dim.copy(),
+      flex_vertadr=mjm.flex_vertadr.copy(),
+      flex_vertnum=mjm.flex_vertnum.copy(),
+      flex_edgeadr=mjm.flex_edgeadr.copy(),
+      flex_edgenum=mjm.flex_edgenum.copy(),
+      flex_vertbodyid=mjm.flex_vertbodyid.copy(),
+      flex_edge=mjm.flex_edge.copy(),
+      flex_edgeflap=mjm.flex_edgeflap.copy(),
+      flex_elem=mjm.flex_elem.copy(),
+      flex_elemadr=mjm.flex_elemadr.copy(),
+      flex_elemnum=mjm.flex_elemnum.copy(),
+      flex_elemdataadr=mjm.flex_elemdataadr.copy(),
+      flex_elemedge=mjm.flex_elemedge.copy(),
+      flex_elemedgeadr=mjm.flex_elemedgeadr.copy(),
+      flex_stiffnessadr=mjm.flex_stiffnessadr.copy(),
+      flex_bendingadr=mjm.flex_bendingadr.copy(),
+      flex_edgeequality=mjm.flex_edgeequality.copy(),
+      flex_vert_dofadr=vert_dofadr,
+      flex_stiffness=_jnp(mjm.flex_stiffness, dtype),
+      flex_bending=_jnp(mjm.flex_bending, dtype),
+      flex_damping=_jnp(mjm.flex_damping, dtype),
+      flexedge_length0=_jnp(mjm.flexedge_length0, dtype),
+      flexedge_invweight0=_jnp(mjm.flexedge_invweight0, dtype),
+  )
 
 
 def _con_classes(con_dim: np.ndarray, nconmax) -> Tuple:
@@ -297,6 +364,8 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
   ne, nf, nl, nefc, con_efc_adr, efc_layout = _efc_layout(
       mjm, slot_dim, int(mjm.opt.cone))
 
+  flex_fields = _flex_fields(mjm, dtype)
+
   m = types.Model(
       nq=mjm.nq, nv=mjm.nv, nu=mjm.nu, na=mjm.na, nbody=mjm.nbody,
       njnt=mjm.njnt, ngeom=mjm.ngeom, nsite=mjm.nsite, ncam=mjm.ncam,
@@ -304,6 +373,7 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
       ntendon=mjm.ntendon, nwrap=mjm.nwrap, nsensor=mjm.nsensor,
       nsensordata=mjm.nsensordata, nhistory=mjm.nhistory,
       ne=ne, nf=nf, nl=nl, nefc=nefc, ncon=ncon, ncand=ncand,
+      **flex_fields,
       con_classes=con_classes, con_compact=con_compact, con_dim=slot_dim,
       opt=opt, stat=stat, tree=tree, efc=efc_layout,
       qpos0=_jnp(mjm.qpos0, dtype),
@@ -508,6 +578,30 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
       pair_solimp=_jnp(pairs.pair_solimp, dtype),
   )
 
+  # flex pseudo-geom rows: extend the geom param tables so collision code
+  # (narrowphase sizes, param mixing, contact body lookup) can index
+  # candidate geom ids >= ngeom uniformly (vertex spheres)
+  if m.nflexvert:
+    fid = np.zeros(m.nflexvert, np.int32)
+    for f in range(mjm.nflex):
+      fid[mjm.flex_vertadr[f]:mjm.flex_vertadr[f] + mjm.flex_vertnum[f]] = f
+    radius = np.asarray(mjm.flex_radius, np.float64)[fid]
+    vsize = np.stack([radius, 0 * radius, 0 * radius], axis=-1)
+    catj = lambda a, b: jnp.concatenate([a, _jnp(b, dtype)], axis=0)
+    m = m.replace(
+        geom_bodyid=np.concatenate([m.geom_bodyid, mjm.flex_vertbodyid]),
+        geom_priority=np.concatenate(
+            [m.geom_priority, mjm.flex_priority[fid]]),
+        geom_size=catj(m.geom_size, vsize),
+        geom_rbound=catj(m.geom_rbound, radius),
+        geom_solmix=catj(m.geom_solmix, mjm.flex_solmix[fid]),
+        geom_solref=catj(m.geom_solref, mjm.flex_solref[fid]),
+        geom_solimp=catj(m.geom_solimp, mjm.flex_solimp[fid]),
+        geom_friction=catj(m.geom_friction, mjm.flex_friction[fid]),
+        geom_margin=catj(m.geom_margin, mjm.flex_margin[fid]),
+        geom_gap=catj(m.geom_gap, mjm.flex_gap[fid]),
+    )
+
   # mixed contact params per candidate slot are state-independent: hoist the
   # reference's per-step param mixing (collision_core.py:317-473) to model
   # constants computed once here
@@ -700,6 +794,9 @@ def _empty_data(m: types.Model, dtype=np.float32) -> types.Data:
       tree_island=jnp.full((m.ntree,), -1, jnp.int32),
       dof_island=jnp.full((m.nv,), -1, jnp.int32),
       efc_island=jnp.full((m.nefc,), -1, jnp.int32),
+      flexvert_xpos=z(m.nflexvert, 3),
+      flexedge_length=z(m.nflexedge),
+      flexedge_velocity=z(m.nflexedge),
       history=z(m.nhistory),
       solver_niter=jnp.zeros((), jnp.int32),
       overflow=jnp.zeros((), jnp.int32),

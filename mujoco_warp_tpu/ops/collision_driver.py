@@ -58,17 +58,50 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
   for sig in mjm.exclude_signature:
     excluded.add((int(sig) >> 16, int(sig) & 0xFFFF))
 
+  # flex vertices join the table as pseudo sphere geoms with ids
+  # ngeom + vertid (the TPU-native replacement for the reference's
+  # separate flex broadphase/narrowphase, collision_flex.py:2898/3705:
+  # vertex spheres ride the same static pair machinery; mjContact's
+  # flex/vert tagging maps to the pseudo geom id).  v1: rigid-vs-vertex
+  # only; flex self-collision pairs are not generated.
+  nreal = mjm.ngeom
+  nfv = int(mjm.nflexvert) if mjm.nflex else 0
+  if nfv:
+    fid = np.zeros(nfv, np.int32)
+    for f in range(mjm.nflex):
+      fid[mjm.flex_vertadr[f]:mjm.flex_vertadr[f] +
+          mjm.flex_vertnum[f]] = f
+    ge_type = np.concatenate([
+        mjm.geom_type, np.full(nfv, int(_GT.SPHERE), mjm.geom_type.dtype)])
+    ge_body = np.concatenate([mjm.geom_bodyid, mjm.flex_vertbodyid])
+    ge_contype = np.concatenate([mjm.geom_contype, mjm.flex_contype[fid]])
+    ge_conaff = np.concatenate(
+        [mjm.geom_conaffinity, mjm.flex_conaffinity[fid]])
+    ge_condim = np.concatenate([mjm.geom_condim, mjm.flex_condim[fid]])
+    ge_priority = np.concatenate(
+        [mjm.geom_priority, mjm.flex_priority[fid]])
+  else:
+    ge_type = mjm.geom_type
+    ge_body = mjm.geom_bodyid
+    ge_contype = mjm.geom_contype
+    ge_conaff = mjm.geom_conaffinity
+    ge_condim = mjm.geom_condim
+    ge_priority = mjm.geom_priority
+  n_all = nreal + nfv
+
   g1s, g2s, expl = [], [], []
-  for a in range(mjm.ngeom):
-    for b in range(a + 1, mjm.ngeom):
-      ba, bb = mjm.geom_bodyid[a], mjm.geom_bodyid[b]
+  for a in range(n_all):
+    for b in range(a + 1, n_all):
+      if a >= nreal and b >= nreal:
+        continue  # no flex self-collision (v1)
+      ba, bb = ge_body[a], ge_body[b]
       if ba == bb:
         continue
       wa, wb = mjm.body_weldid[ba], mjm.body_weldid[bb]
       if wa == wb:
         continue
-      if (int(mjm.geom_contype[a]) & int(mjm.geom_conaffinity[b])) == 0 and \
-         (int(mjm.geom_contype[b]) & int(mjm.geom_conaffinity[a])) == 0:
+      if (int(ge_contype[a]) & int(ge_conaff[b])) == 0 and \
+         (int(ge_contype[b]) & int(ge_conaff[a])) == 0:
         continue
       if not (mjm.opt.disableflags & mujoco.mjtDisableBit.mjDSBL_FILTERPARENT):
         # parent filtering applies only between two non-world weld bodies
@@ -93,7 +126,7 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
   # canonical ordering: geom with the smaller type first (collider convention)
   g1c, g2c = [], []
   for a, b in zip(g1s, g2s):
-    if mjm.geom_type[a] <= mjm.geom_type[b]:
+    if ge_type[a] <= ge_type[b]:
       g1c.append(a)
       g2c.append(b)
     else:
@@ -105,7 +138,7 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
   from mujoco_warp_tpu.ops import collision_convex, collision_hfield
   keys = []
   for a, b in zip(g1c, g2c):
-    key = (int(mjm.geom_type[a]), int(mjm.geom_type[b]))
+    key = (int(ge_type[a]), int(ge_type[b]))
     if key not in collision_primitive.PAIR_NCON:
       is_hf = (key[0] == types.GeomType.HFIELD and
                key[1] in collision_hfield.HFIELD_NCON)
@@ -122,13 +155,13 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
     if expl[i] >= 0:
       con_dim[i] = mjm.pair_dim[expl[i]]
     else:
-      p1, p2 = mjm.geom_priority[a], mjm.geom_priority[b]
+      p1, p2 = ge_priority[a], ge_priority[b]
       if p1 > p2:
-        con_dim[i] = mjm.geom_condim[a]
+        con_dim[i] = ge_condim[a]
       elif p2 > p1:
-        con_dim[i] = mjm.geom_condim[b]
+        con_dim[i] = ge_condim[b]
       else:
-        con_dim[i] = max(mjm.geom_condim[a], mjm.geom_condim[b])
+        con_dim[i] = max(ge_condim[a], ge_condim[b])
 
   # sort pairs grouped by type pair so contact slots are contiguous per group
   order = sorted(range(len(g1c)), key=lambda i: keys[i])
@@ -244,6 +277,14 @@ def _mix_params(m: types.Model, g1: np.ndarray, g2: np.ndarray,
 
 def _narrowphase_candidates(m: types.Model, d: types.Data):
   """dist/pos/frame over every candidate slot (static pair table)."""
+  if m.nflexvert:
+    # flex vertex pseudo geoms: extend the runtime pose tables (identity
+    # orientation; position = vertex position)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=d.geom_xmat.dtype),
+                           (m.nflexvert, 3, 3))
+    d = d.replace(
+        geom_xpos=jnp.concatenate([d.geom_xpos, d.flexvert_xpos], axis=0),
+        geom_xmat=jnp.concatenate([d.geom_xmat, eye], axis=0))
   dist_slots = []
   pos_slots = []
   frame_slots = []

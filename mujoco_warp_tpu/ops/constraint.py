@@ -413,6 +413,45 @@ def _equality_tendon(m, d, rows, dtype):
            None, d.eq_active[ids])
 
 
+def _equality_flex(m, d, rows, dtype):
+  """Flex edge-length equality rows (reference: constraint.py:878
+  `_equality_flex`): pos = len - len0, J = +-unit on the two particle
+  vertices' slide dofs, invweight from flexedge_invweight0."""
+  lay = m.efc
+  ids = lay.flex_id
+  if not len(ids):
+    return
+  nv = m.nv
+  dof = np.asarray(m.flex_vert_dofadr)
+  for eqid, adr0 in zip(ids, lay.flex_adr):
+    fi = int(m.eq_obj1id[eqid])
+    ebase = int(m.flex_edgeadr[fi])
+    nfe = int(m.flex_edgenum[fi])
+    e = np.asarray(m.flex_edge)[ebase:ebase + nfe] + int(m.flex_vertadr[fi])
+    xv = d.flexvert_xpos
+    u = xv[e[:, 1]] - xv[e[:, 0]]
+    length = d.flexedge_length[ebase:ebase + nfe]
+    uhat = u / jnp.maximum(length, 1e-12)[:, None]
+
+    # J rows via static scatter: row r has -u on vert0 dofs, +u on vert1
+    rows_idx = np.arange(nfe)
+    J = jnp.zeros((nfe, nv), dtype)
+    for k in range(3):
+      J = J.at[rows_idx, dof[e[:, 0]] + k].add(-uhat[:, k])
+      J = J.at[rows_idx, dof[e[:, 1]] + k].add(uhat[:, k])
+
+    pos = length - m.flexedge_length0[ebase:ebase + nfe]
+    vel = d.flexedge_velocity[ebase:ebase + nfe]
+    invw = m.flexedge_invweight0[ebase:ebase + nfe]
+    solref = jnp.broadcast_to(m.eq_solref[eqid][None], (nfe, types.NREF))
+    solimp = jnp.broadcast_to(m.eq_solimp[eqid][None], (nfe, types.NIMP))
+    D, aref, posv = _row_values(
+        m, pos, jnp.abs(pos), invw, solref, solimp, 0.0, vel, dtype)
+    active = jnp.broadcast_to(d.eq_active[eqid], (nfe,))
+    adr = int(adr0) + np.arange(nfe)
+    rows.set(adr, J, posv, jnp.zeros_like(posv), D, aref, None, active)
+
+
 def _friction(m, d, rows, dtype):
   """DOF and tendon friction-loss rows (reference: 1766-1988)."""
   lay = m.efc
@@ -626,6 +665,7 @@ def make_constraint(m: types.Model, d: types.Data) -> types.Data:
     _equality_weld(m, d, rows, cdof_dot, dtype)
     _equality_joint(m, d, rows, dtype)
     _equality_tendon(m, d, rows, dtype)
+    _equality_flex(m, d, rows, dtype)
   if m.nf and not (dsbl & types.DisableBit.FRICTIONLOSS):
     _friction(m, d, rows, dtype)
   if m.nl and not (dsbl & types.DisableBit.LIMIT):

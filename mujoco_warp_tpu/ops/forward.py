@@ -51,6 +51,8 @@ def fwd_position(m: types.Model, d: types.Data,
   d = smooth.kinematics(m, d)
   d = smooth.com_pos(m, d)
   d = smooth.camlight(m, d)
+  if m.nflex:
+    d = smooth.flex(m, d)
   d = smooth.tendon(m, d)
   d = smooth.crb(m, d)
   # cvel/cdof_dot feed the equality-constraint Jacobian-dot terms, so they
@@ -637,6 +639,8 @@ def step(m: types.Model, d: types.Data) -> types.Data:
       dd = smooth.kinematics(m, dd)
       dd = smooth.com_pos(m, dd)
       dd = smooth.camlight(m, dd)
+      if m.nflex:
+        dd = smooth.flex(m, dd)
       dd = smooth.tendon(m, dd)
       return dd
     dd = fwd_position(m, dd)

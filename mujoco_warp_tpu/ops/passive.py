@@ -142,6 +142,14 @@ def passive(m: types.Model, d: types.Data) -> types.Data:
     qfrc_spring = jnp.zeros((m.nv,), dtype)
   else:
     qfrc_spring = _spring(m, d)
+    if m.nflex:
+      dsbl_damper = bool(dsbl & types.DisableBit.DAMPER)
+      qfrc_spring = qfrc_spring + flex_elasticity(m, d, dsbl_damper)
+      fb_s, fb_d = flex_bending(m, d, dsbl_damper)
+      qfrc_spring = qfrc_spring + fb_s
+      _flex_bend_damper = fb_d
+    else:
+      _flex_bend_damper = None
     if m.ntendon:
       # tendon springs: -k (len - springlength) with deadband [lo, hi]
       k = m.tendon_stiffness
@@ -156,6 +164,8 @@ def passive(m: types.Model, d: types.Data) -> types.Data:
     qfrc_damper = jnp.zeros((m.nv,), dtype)
   else:
     qfrc_damper = -m.dof_damping * d.qvel
+    if m.nflex and _flex_bend_damper is not None:
+      qfrc_damper = qfrc_damper + _flex_bend_damper
     if m.ntendon:
       qfrc_damper = qfrc_damper + d.ten_J.T @ (
           -m.tendon_damping * d.ten_velocity)
@@ -196,3 +206,134 @@ def passive(m: types.Model, d: types.Data) -> types.Data:
       qfrc_fluid=qfrc_fluid,
       qfrc_passive=qfrc_passive,
   )
+
+
+# --------------------------------------------------------------------- flex
+
+# element-local edge -> vertex-pair tables (reference: passive.py:640)
+_FLEX_ELEM_EDGES = {
+    1: np.array([[0, 1]]),
+    2: np.array([[1, 2], [2, 0], [0, 1]]),
+    3: np.array([[0, 1], [1, 2], [2, 0], [2, 3], [0, 3], [1, 3]]),
+}
+
+
+def _flex_vert_scatter(m, f_vert, dtype):
+  """Scatter (nflexvert, 3) world forces onto particle dofs -> (nv,)."""
+  dof = np.asarray(m.flex_vert_dofadr)
+  qfrc = jnp.zeros((m.nv,), dtype)
+  idx = np.stack([dof, dof + 1, dof + 2], axis=-1).reshape(-1)
+  return qfrc.at[idx].add(f_vert.reshape(-1))
+
+
+def _flex_vert_vel(m, d):
+  """(nflexvert, 3) vertex velocities (particle fast path)."""
+  dof = np.asarray(m.flex_vert_dofadr)
+  return jnp.stack([d.qvel[dof + k] for k in range(3)], axis=-1)
+
+
+def flex_elasticity(m: types.Model, d: types.Data, dsbl_damper: bool):
+  """Element elasticity forces (reference: passive.py:593
+  `_flex_elasticity`): quadratic energy in squared edge lengths with a
+  per-element metric (the 21-coefficient upper triangle)."""
+  dtype = d.qpos.dtype
+  f_vert = jnp.zeros((m.nflexvert, 3), dtype)
+  for fi in range(m.nflex):
+    if int(m.flex_stiffnessadr[fi]) < 0:
+      continue
+    dim = int(m.flex_dim[fi])
+    nvert = dim + 1
+    eedges = _FLEX_ELEM_EDGES[dim]
+    nedge = len(eedges)
+    nelem = int(m.flex_elemnum[fi])
+    vbase = int(m.flex_vertadr[fi])
+    ebase = int(m.flex_edgeadr[fi])
+    elems = np.asarray(m.flex_elem)[
+        int(m.flex_elemdataadr[fi]):][:nelem * nvert].reshape(nelem, nvert)
+    elemedge = np.asarray(m.flex_elemedge)[
+        int(m.flex_elemedgeadr[fi]):][:nelem * nedge].reshape(nelem, nedge)
+
+    # per-element metric from the packed upper triangle (21 slots/elem)
+    tri = np.zeros((nedge, nedge), np.int32)
+    k = 0
+    for a in range(nedge):
+      for b in range(a, nedge):
+        tri[a, b] = tri[b, a] = k
+        k += 1
+    sadr = int(m.flex_stiffnessadr[fi])
+    stiff = m.flex_stiffness[sadr:sadr + nelem * 21].reshape(nelem, 21)
+    metric = stiff[:, tri.reshape(-1)].reshape(nelem, nedge, nedge)
+
+    l = d.flexedge_length[ebase + elemedge]  # (nelem, nedge)
+    l0 = m.flexedge_length0[ebase + elemedge]
+    vel = d.flexedge_velocity[ebase + elemedge]
+    h = m.opt.timestep.astype(dtype)
+    elong = l * l - l0 * l0
+    if not dsbl_damper:
+      kD = m.flex_damping[fi] / jnp.maximum(h, 1e-12)
+      prev = l - vel * h
+      elong = elong + (l * l - prev * prev) * kD
+
+    t = jnp.einsum('ne,nef->nf', elong, metric)  # (nelem, nedge)
+    xv = d.flexvert_xpos
+    ga = xv[vbase + elems[:, eedges[:, 0]]]  # (nelem, nedge, 3)
+    gb = xv[vbase + elems[:, eedges[:, 1]]]
+    grad = ga - gb
+    fa = -t[:, :, None] * grad  # force on vert a of each elem edge
+    fb = t[:, :, None] * grad
+    ia = (vbase + elems[:, eedges[:, 0]]).reshape(-1)
+    ib = (vbase + elems[:, eedges[:, 1]]).reshape(-1)
+    f_vert = f_vert.at[ia].add(fa.reshape(-1, 3))
+    f_vert = f_vert.at[ib].add(fb.reshape(-1, 3))
+  return _flex_vert_scatter(m, f_vert, dtype)
+
+
+def flex_bending(m: types.Model, d: types.Data, dsbl_damper: bool):
+  """Cloth bending forces (reference: passive.py:711 `_flex_bending`):
+  per edge-with-flap, a precomputed 4x4 quadratic form (16 coeffs) plus a
+  nonlinear cross-product term (17th coeff).  Returns (spring, damper)
+  generalized forces."""
+  dtype = d.qpos.dtype
+  fs_vert = jnp.zeros((m.nflexvert, 3), dtype)
+  fd_vert = jnp.zeros((m.nflexvert, 3), dtype)
+  any_damp = False
+  for fi in range(m.nflex):
+    badr = int(m.flex_bendingadr[fi])
+    if badr < 0 or int(m.flex_dim[fi]) != 2:
+      continue
+    ebase = int(m.flex_edgeadr[fi])
+    nfe = int(m.flex_edgenum[fi])
+    vbase = int(m.flex_vertadr[fi])
+    flap = np.asarray(m.flex_edgeflap)[ebase:ebase + nfe]
+    edge = np.asarray(m.flex_edge)[ebase:ebase + nfe]
+    sel = np.nonzero(flap[:, 1] >= 0)[0]
+    if not len(sel):
+      continue
+    v = np.concatenate([edge[sel], flap[sel]], axis=-1) + vbase  # (ns, 4)
+    coefs = m.flex_bending[badr:badr + nfe * 17].reshape(nfe, 17)[sel]
+    A = coefs[:, :16].reshape(-1, 4, 4)
+    c16 = coefs[:, 16]
+
+    xs = d.flexvert_xpos[v]  # (ns, 4, 3)
+    ed0 = xs[:, 1] - xs[:, 0]
+    ed1 = xs[:, 2] - xs[:, 0]
+    ed2 = xs[:, 3] - xs[:, 0]
+    f1 = jnp.cross(ed1, ed2)
+    f2 = jnp.cross(ed2, ed0)
+    f3 = jnp.cross(ed0, ed1)
+    f0 = -(f1 + f2 + f3)
+    frc_nl = jnp.stack([f0, f1, f2, f3], axis=1)  # (ns, 4, 3)
+
+    fs = -(jnp.einsum('nij,njx->nix', A, xs) + c16[:, None, None] * frc_nl)
+    fs_vert = fs_vert.at[v.reshape(-1)].add(fs.reshape(-1, 3))
+
+    damp = types.concrete_or(m.flex_damping,
+                             lambda a: float(a[fi]) > 0.0, True)
+    if not dsbl_damper and damp:
+      any_damp = True
+      vels = _flex_vert_vel(m, d)[v]  # (ns, 4, 3)
+      fd = -jnp.einsum('nij,njx->nix', A, vels) *           m.flex_damping[fi]
+      fd_vert = fd_vert.at[v.reshape(-1)].add(fd.reshape(-1, 3))
+  qs = _flex_vert_scatter(m, fs_vert, dtype)
+  qd = _flex_vert_scatter(m, fd_vert, dtype) if any_damp else       jnp.zeros((m.nv,), dtype)
+  return qs, qd

@@ -856,3 +856,26 @@ def transmission(m: types.Model, d: types.Data) -> types.Data:
       length = length.at[u].set(0.0)
       moment = moment.at[u].set(mom.astype(dtype))
   return d.replace(actuator_length=length, actuator_moment=moment)
+
+
+def flex(m: types.Model, d: types.Data) -> types.Data:
+  """Flex vertex kinematics + edge length/velocity (reference:
+  smooth.py:604 `flex`).
+
+  Particle flexes only (io validates): vertex position is its body's
+  xpos, vertex velocity is its 3 slide-dof qvel slice.
+  """
+  if not m.nflex:
+    return d
+  vb = np.asarray(m.flex_vertbodyid)
+  xv = d.xpos[vb]  # (nflexvert, 3)
+  e0 = np.asarray(m.flex_edge[:, 0])
+  e1 = np.asarray(m.flex_edge[:, 1])
+  u = xv[e1] - xv[e0]
+  length = jnp.linalg.norm(u, axis=-1)
+  uhat = u / jnp.maximum(length, 1e-12)[:, None]
+  dof = np.asarray(m.flex_vert_dofadr)
+  vvert = jnp.stack([d.qvel[dof + k] for k in range(3)], axis=-1)
+  vel = jnp.sum(uhat * (vvert[e1] - vvert[e0]), axis=-1)
+  return d.replace(flexvert_xpos=xv, flexedge_length=length,
+                   flexedge_velocity=vel)

@@ -208,6 +208,8 @@ def supported_features(m: types.Model) -> bool:
   dsbl = o.disableflags
   if o.enableflags & types.EnableBit.SLEEP:
     return False
+  if m.nflex:
+    return False
   if o.integrator != types.IntegratorType.EULER:
     return False
   if o.solver != types.SolverType.NEWTON:

@@ -380,6 +380,9 @@ class EfcLayout:
   joint_adr: np.ndarray = field(static=True, default=None)
   tendon_id: np.ndarray = field(static=True, default=None)
   tendon_adr: np.ndarray = field(static=True, default=None)
+  # flex edge equality: (eq ids of type FLEX, first row address per eq)
+  flex_id: np.ndarray = field(static=True, default=None)
+  flex_adr: np.ndarray = field(static=True, default=None)
   # friction loss rows
   fri_dof_id: np.ndarray = field(static=True, default=None)
   fri_dof_adr: np.ndarray = field(static=True, default=None)
@@ -473,6 +476,39 @@ class Model:
   tree_sleep_policy: np.ndarray = field(static=True, default=None)
   # names of per-world batched fields (io.batch_model); ('opt.gravity', ...)
   batch_fields: Tuple[str, ...] = field(static=True, default=())
+
+  # ------------------------------------------------------------------ flex
+  # deformables (reference types.py flex fields; v1 scope: particle
+  # flexes — every vertex is a centered body with 3 world-aligned slide
+  # dofs, which is what flexcomp grids compile to)
+  nflex: int = field(static=True, default=0)
+  nflexvert: int = field(static=True, default=0)
+  nflexedge: int = field(static=True, default=0)
+  nflexelem: int = field(static=True, default=0)
+  flex_dim: np.ndarray = field(static=True, default=None)
+  flex_vertadr: np.ndarray = field(static=True, default=None)
+  flex_vertnum: np.ndarray = field(static=True, default=None)
+  flex_edgeadr: np.ndarray = field(static=True, default=None)
+  flex_edgenum: np.ndarray = field(static=True, default=None)
+  flex_vertbodyid: np.ndarray = field(static=True, default=None)
+  flex_edge: np.ndarray = field(static=True, default=None)
+  flex_edgeflap: np.ndarray = field(static=True, default=None)
+  flex_elem: np.ndarray = field(static=True, default=None)
+  flex_elemadr: np.ndarray = field(static=True, default=None)
+  flex_elemnum: np.ndarray = field(static=True, default=None)
+  flex_elemdataadr: np.ndarray = field(static=True, default=None)
+  flex_elemedge: np.ndarray = field(static=True, default=None)
+  flex_elemedgeadr: np.ndarray = field(static=True, default=None)
+  flex_stiffnessadr: np.ndarray = field(static=True, default=None)
+  flex_bendingadr: np.ndarray = field(static=True, default=None)
+  flex_edgeequality: np.ndarray = field(static=True, default=None)
+  # per-vertex dof address of the 3 slide dofs (particle fast path)
+  flex_vert_dofadr: np.ndarray = field(static=True, default=None)
+  flex_stiffness: Array = None  # (nflexelem*21,)
+  flex_bending: Array = None  # (nflexedge*17,)
+  flex_damping: Array = None  # (nflex,)
+  flexedge_length0: Array = None  # (nflexedge,)
+  flexedge_invweight0: Array = None  # (nflexedge,)
   body_pos: Array = None  # (nbody, 3)
   body_quat: Array = None  # (nbody, 4)
   body_ipos: Array = None  # (nbody, 3)
@@ -800,6 +836,11 @@ class Data:
   cacc: Array = None  # (nbody, 6) com-frame acceleration
   cfrc_int: Array = None  # (nbody, 6) force from parent
   cfrc_ext: Array = None  # (nbody, 6) external wrenches
+
+  # ------------------------------------------------------------------- flex
+  flexvert_xpos: Array = None  # (nflexvert, 3)
+  flexedge_length: Array = None  # (nflexedge,)
+  flexedge_velocity: Array = None  # (nflexedge,)
 
   # ---------------------------------------------------------------- history
   history: Array = None  # (nhistory,) circular delay buffers
