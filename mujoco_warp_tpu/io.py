@@ -436,6 +436,8 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
       geom_condim=mjm.geom_condim.copy(),
       geom_bodyid=mjm.geom_bodyid.copy(),
       geom_dataid=mjm.geom_dataid.copy(),
+      geom_fluid=mjm.geom_fluid.copy().reshape(mjm.ngeom, -1)
+      if mjm.ngeom else np.zeros((0, 12)),
       geom_priority=mjm.geom_priority.copy(),
       geom_solmix=_jnp(mjm.geom_solmix, dtype),
       geom_solref=_jnp(mjm.geom_solref, dtype),

@@ -55,6 +55,7 @@ def fwd_position(m: types.Model, d: types.Data,
     d = smooth.flex(m, d)
   d = smooth.tendon(m, d)
   d = smooth.crb(m, d)
+  d = smooth.tendon_armature(m, d)
   # cvel/cdof_dot feed the equality-constraint Jacobian-dot terms, so they
   # are computed here (MuJoCo C >= 3.2 ordering; the C oracle's efc_aref
   # depends on current-state cvel at make_constraint time)
@@ -83,6 +84,7 @@ def fwd_velocity(m: types.Model, d: types.Data) -> types.Data:
                 ten_velocity=ten_velocity)
   d = passive.passive(m, d)
   d = smooth.rne(m, d)
+  d = smooth.tendon_bias(m, d)
   return d
 
 

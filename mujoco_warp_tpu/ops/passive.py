@@ -54,6 +54,134 @@ def _spring(m: types.Model, d: types.Data) -> jax.Array:
   return qfrc
 
 
+def _ellipsoid_bodies(m: types.Model) -> np.ndarray:
+  """(nbody,) bool: body uses the ellipsoid fluid model (any geom with
+  fluidcoef > 0; reference passive.py body_fluid_ellipsoid)."""
+  out = np.zeros(m.nbody, bool)
+  if m.geom_fluid is not None and len(m.geom_fluid):
+    gf = np.asarray(m.geom_fluid)
+    for g in np.nonzero(gf[:, 0] > 0)[0]:
+      out[m.geom_bodyid[g]] = True
+  return out
+
+
+def _fluid_ellipsoid(m: types.Model, d: types.Data) -> jax.Array:
+  """Ellipsoid fluid model (reference: passive.py:358-481, MuJoCo's
+  mj_ellipsoidFluidModel): added mass, Magnus + Kutta lift, blunt/slender/
+  angular drag per geom with fluidshape=ellipsoid."""
+  dtype = d.qpos.dtype
+  gf_np = np.asarray(m.geom_fluid)
+  sel = np.nonzero(gf_np[:, 0] > 0)[0]
+  if not len(sel):
+    return jnp.zeros((m.nv,), dtype)
+  rho = m.opt.density.astype(dtype)
+  beta = m.opt.viscosity.astype(dtype)
+  wind = m.opt.wind.astype(dtype)
+  gf = jnp.asarray(gf_np[sel].astype(np.float32))
+  b = m.geom_bodyid[sel]
+
+  # semiaxes by geom type (static branching)
+  gt = np.asarray(m.geom_type)[sel]
+  sz = m.geom_size[sel]
+  r = sz[:, 0]
+  half = sz[:, 1]
+  semi_rows = []
+  for i, t in enumerate(gt):  # static per-geom type branching
+    if t == types.GeomType.SPHERE:
+      semi_rows.append(jnp.stack([r[i], r[i], r[i]]))
+    elif t == types.GeomType.CAPSULE:
+      semi_rows.append(jnp.stack([r[i], r[i], half[i] + r[i]]))
+    elif t == types.GeomType.CYLINDER:
+      semi_rows.append(jnp.stack([r[i], r[i], half[i]]))
+    else:  # ellipsoid/box/mesh: size is the semiaxes
+      semi_rows.append(sz[i])
+  semi = jnp.stack(semi_rows)  # (n, 3)
+
+  root_com = d.subtree_com[m.body_rootid[b]]
+  ang = d.cvel[b, :3]
+  lin_com = d.cvel[b, 3:] - jnp.cross(d.xipos[b] - root_com, ang)
+  gpos = d.geom_xpos[sel]
+  lin_point = lin_com + jnp.cross(ang, gpos - d.xipos[b])
+  R = d.geom_xmat[sel]
+  Rt = jnp.swapaxes(R, -1, -2)
+  l_ang = jnp.einsum('nij,nj->ni', Rt, ang)
+  l_lin = jnp.einsum('nij,nj->ni', Rt, lin_point - wind[None, :])
+
+  frc = jnp.zeros_like(l_lin)
+  trq = jnp.zeros_like(l_ang)
+
+  # added-mass (density)
+  vmass = gf[:, 6:9]
+  vinert = gf[:, 9:12]
+  vlm = rho * vmass * l_lin
+  vam = rho * vinert * l_ang
+  frc = frc + jnp.cross(vlm, l_ang)
+  trq = trq + jnp.cross(vlm, l_lin) + jnp.cross(vam, l_ang)
+
+  magnus_coef = gf[:, 5]
+  kutta_coef = gf[:, 4]
+  blunt = gf[:, 1]
+  slender = gf[:, 2]
+  ang_drag = gf[:, 3]
+
+  s0, s1, s2 = semi[:, 0], semi[:, 1], semi[:, 2]
+  volume = (4.0 / 3.0 * np.pi) * s0 * s1 * s2
+  d_max = jnp.max(semi, axis=-1)
+  d_min = jnp.min(semi, axis=-1)
+  d_mid = s0 + s1 + s2 - d_max - d_min
+  A_max = np.pi * d_max * d_mid
+  lin_speed = jnp.linalg.norm(l_lin, axis=-1)
+
+  frc = frc + jnp.cross(l_ang, l_lin) * (magnus_coef * rho * volume)[:, None]
+
+  s12, s20, s01 = s1 * s2, s2 * s0, s0 * s1
+  p2 = lambda x: x * x
+  p4 = lambda x: p2(p2(x))
+  proj_den = (p4(s12) * p2(l_lin[:, 0]) + p4(s20) * p2(l_lin[:, 1]) +
+              p4(s01) * p2(l_lin[:, 2]))
+  proj_num = (p2(s12 * l_lin[:, 0]) + p2(s20 * l_lin[:, 1]) +
+              p2(s01 * l_lin[:, 2]))
+  A_proj = np.pi * jnp.sqrt(proj_den / jnp.maximum(proj_num, 1e-15))
+  cos_a = proj_num / jnp.maximum(lin_speed * proj_den, 1e-15)
+  norm = jnp.stack([p2(s12) * l_lin[:, 0], p2(s20) * l_lin[:, 1],
+                    p2(s01) * l_lin[:, 2]], axis=-1)
+  kutta_circ = jnp.cross(norm, l_lin) * (kutta_coef * rho * cos_a *
+                                         A_proj)[:, None]
+  kutta_force = jnp.cross(kutta_circ, l_lin)
+  kutta_force = jnp.where((lin_speed > 1e-15)[:, None], kutta_force, 0.0)
+  frc = frc + kutta_force
+
+  eq_D = (2.0 / 3.0) * (s0 + s1 + s2)
+  lin_visc_f = 3.0 * np.pi * eq_D
+  lin_visc_t = np.pi * eq_D ** 3
+  mom_c = (8.0 / 15.0) * np.pi
+  I_max = mom_c * d_mid * p4(d_max)
+  II = jnp.stack([
+      mom_c * s0 * p4(jnp.maximum(s1, s2)),
+      mom_c * s1 * p4(jnp.maximum(s2, s0)),
+      mom_c * s2 * p4(jnp.maximum(s0, s1))], axis=-1)
+  mom_visc = l_ang * (ang_drag[:, None] * II +
+                      slender[:, None] * (I_max[:, None] - II))
+  drag_lin = beta * lin_visc_f + rho * lin_speed * (
+      A_proj * blunt + slender * (A_max - A_proj))
+  drag_ang = beta * lin_visc_t + rho * jnp.linalg.norm(mom_visc, axis=-1)
+  trq = trq - drag_ang[:, None] * l_ang
+  frc = frc - drag_lin[:, None] * l_lin
+
+  coef = gf[:, 0]
+  frc = frc * coef[:, None]
+  trq = trq * coef[:, None]
+  frc_w = jnp.einsum('nij,nj->ni', R, frc)
+  trq_w = jnp.einsum('nij,nj->ni', R, trq)
+
+  # wrench at geom position -> per-body wrench about the root CoM frame
+  trq_root = trq_w + jnp.cross(gpos - root_com, frc_w)
+  cfrc = jnp.zeros((m.nbody, 6), dtype)
+  cfrc = cfrc.at[b].add(jnp.concatenate([trq_root, frc_w], axis=-1))
+  ds = jnp.asarray(m.tree.dof_subtree_mask, dtype)
+  return jnp.sum((ds @ cfrc) * d.cdof, axis=-1)
+
+
 def _fluid(m: types.Model, d: types.Data) -> jax.Array:
   """Inertia-box fluid model: per-body viscous drag + buoyancy-free lift.
 
@@ -75,7 +203,8 @@ def _fluid(m: types.Model, d: types.Data) -> jax.Array:
           inert[:, 1] + inert[:, 2] - inert[:, 0],
           inert[:, 0] + inert[:, 2] - inert[:, 1],
           inert[:, 0] + inert[:, 1] - inert[:, 2],
-      ], axis=-1) / (2.0 * s[:, None]) * 6.0, 1e-12))  # full box side
+      ], axis=-1) / s[:, None] * 6.0, 1e-12))  # full box side
+  # (reference passive.py:502: box_i = sqrt(6*(I_j+I_k-I_i)/mass))
 
   # body spatial velocity at body CoM, rotated to inertial (ximat) frame
   # cvel is about the subtree root's CoM; translate to body CoM
@@ -107,6 +236,10 @@ def _fluid(m: types.Model, d: types.Data) -> jax.Array:
 
   frc = frc_v + frc_d
   trq = trq_v + trq_d
+  # bodies on the ellipsoid model skip the inertia-box forces
+  keep = jnp.asarray(~_ellipsoid_bodies(m), dtype)[:, None]
+  frc = frc * keep
+  trq = trq * keep
   # rotate back to world
   frc_w = jnp.einsum('bij,bj->bi', d.ximat, frc)
   trq_w = jnp.einsum('bij,bj->bi', d.ximat, trq)
@@ -183,6 +316,8 @@ def passive(m: types.Model, d: types.Data) -> types.Data:
   visc = types.concrete_or(m.opt.viscosity, float, 1.0)
   if dens or visc:
     qfrc_fluid = _fluid(m, d)
+    if np.any(_ellipsoid_bodies(m)):
+      qfrc_fluid = qfrc_fluid + _fluid_ellipsoid(m, d)
   else:
     qfrc_fluid = jnp.zeros((m.nv,), dtype)
 

@@ -879,3 +879,71 @@ def flex(m: types.Model, d: types.Data) -> types.Data:
   vel = jnp.sum(uhat * (vvert[e1] - vvert[e0]), axis=-1)
   return d.replace(flexvert_xpos=xv, flexedge_length=length,
                    flexedge_velocity=vel)
+
+
+def _has_tendon_armature(m: types.Model) -> bool:
+  if not m.ntendon:
+    return False
+  return types.concrete_or(m.tendon_armature,
+                           lambda a: bool(np.any(a > 0)), True)
+
+
+def tendon_armature(m: types.Model, d: types.Data) -> types.Data:
+  """Add tendon armature to the mass matrix (reference: smooth.py:1165):
+  M += ten_J^T diag(armature) ten_J."""
+  if not _has_tendon_armature(m):
+    return d
+  A = m.tendon_armature[:, None] * d.ten_J  # (ntendon, nv)
+  return d.replace(qM=d.qM + d.ten_J.T @ A)
+
+
+def _qpos_dot(m: types.Model, qpos, qvel):
+  """Tangent of qpos under qvel (quaternion slots get 0.5*q*[0,w])."""
+  dtype = qpos.dtype
+  out = jnp.zeros((m.nq,), dtype)
+  for j in range(m.njnt):
+    jt = int(m.jnt_type[j])
+    qadr = int(m.jnt_qposadr[j])
+    dadr = int(m.jnt_dofadr[j])
+    if jt == int(types.JointType.FREE):
+      out = out.at[qadr:qadr + 3].set(qvel[dadr:dadr + 3])
+      q = qpos[qadr + 3:qadr + 7]
+      w = qvel[dadr + 3:dadr + 6]
+      qd = 0.5 * math.mul_quat(q, jnp.concatenate(
+          [jnp.zeros((1,), dtype), w]))
+      out = out.at[qadr + 3:qadr + 7].set(qd)
+    elif jt == int(types.JointType.BALL):
+      q = qpos[qadr:qadr + 4]
+      w = qvel[dadr:dadr + 3]
+      qd = 0.5 * math.mul_quat(q, jnp.concatenate(
+          [jnp.zeros((1,), dtype), w]))
+      out = out.at[qadr:qadr + 4].set(qd)
+    else:
+      out = out.at[qadr].set(qvel[dadr])
+  return out
+
+
+def tendon_bias(m: types.Model, d: types.Data) -> types.Data:
+  """Bias force from tendon armature (reference: smooth.py:2119):
+  qfrc_bias += ten_J^T (armature * (d(ten_J)/dt . qvel)).
+
+  The reference derives ten_Jdot analytically per wrap segment
+  (_tendon_dot); here it is the JVP of the position pipeline that
+  produces ten_J along the qpos tangent induced by qvel — the
+  autodiff-native equivalent (same divergence as ops/derivative's RNE
+  velocity derivative).
+  """
+  if not _has_tendon_armature(m):
+    return d
+
+  def ten_J_of(qpos):
+    dd = d.replace(qpos=qpos)
+    dd = kinematics(m, dd)
+    dd = com_pos(m, dd)
+    dd = tendon(m, dd)
+    return dd.ten_J
+
+  qdot = _qpos_dot(m, d.qpos, d.qvel)
+  _, ten_Jdot = jax.jvp(ten_J_of, (d.qpos,), (qdot,))
+  coef = m.tendon_armature * (ten_Jdot @ d.qvel)  # (ntendon,)
+  return d.replace(qfrc_bias=d.qfrc_bias + d.ten_J.T @ coef)

@@ -556,6 +556,7 @@ class Model:
   geom_condim: np.ndarray = field(static=True, default=None)
   geom_bodyid: np.ndarray = field(static=True, default=None)
   geom_dataid: np.ndarray = field(static=True, default=None)
+  geom_fluid: np.ndarray = field(static=True, default=None)  # (ngeom, 12)
   geom_priority: np.ndarray = field(static=True, default=None)
   geom_solmix: Array = None  # (ngeom,)
   geom_solref: Array = None  # (ngeom, NREF)
