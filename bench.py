@@ -23,7 +23,7 @@ BASELINE_STEPS_PER_SEC = 2_729_192.0
 
 def main():
   nworld = int(os.environ.get('BENCH_NWORLD', 8192))
-  nstep = int(os.environ.get('BENCH_NSTEP', 100))
+  nstep = int(os.environ.get('BENCH_NSTEP', 1000))
   mjm = benchmarks.load_humanoid_benchmark()
   metrics = benchmarks.run(mjm, nworld=nworld, nstep=nstep)
   out = {

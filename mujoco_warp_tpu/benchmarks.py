@@ -66,10 +66,11 @@ def build(mjm, nworld: int, seed: int = 0, nconmax={1: 8, 3: 16},
           overrides=()):
   """Model + randomized batched Data.
 
-  ``nconmax`` defaults to 24 total active-contact slots split per condim
-  class (8 frictionless + 16 pyramidal) — the same total budget as the
-  reference humanoid benchmark (benchmarks/humanoid/__init__.py:
-  nconmax=24, njmax=64), sized apples-to-apples.
+  ``nconmax`` defaults to per-condim budgets {1: 8, 3: 16} (24 total
+  slots, the reference humanoid budget, benchmarks/humanoid/__init__.py
+  nconmax=24).  Crumpled OU-noise states can exceed the 8 frictionless
+  self-collision slots in ~0.7%% of worlds — the same states overflow the
+  reference's shared 24-slot pool; both report it (overflow_worlds).
   """
   m = io.put_model(mjm, nconmax=nconmax)
   if overrides:

@@ -287,7 +287,8 @@ def _con_classes(con_dim: np.ndarray, nconmax) -> Tuple:
 
 
 def put_model(mjm: mujoco.MjModel, dtype=np.float32,
-              nconmax: Optional[int] = None) -> types.Model:
+              nconmax: Optional[int] = None,
+              sdf_plugins: Optional[dict] = None) -> types.Model:
   """Convert a mujoco.MjModel into a device Model (reference: io.py:287).
 
   ``nconmax``: optional per-world active-contact budget — an int (every
@@ -366,6 +367,32 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
 
   flex_fields = _flex_fields(mjm, dtype)
 
+  # geoms of type SDF resolve their signed-distance function from the
+  # plugin registry: instance name -> callable (or registry key string).
+  # Reference: collision_sdf.py plugin dispatch + test_data SDF plugins.
+  geom_sdf_fn = ()
+  if np.any(mjm.geom_type == int(types.GeomType.SDF)):
+    from mujoco_warp_tpu.ops import collision_sdf
+    fns = []
+    for g in range(mjm.ngeom):
+      if mjm.geom_type[g] != int(types.GeomType.SDF):
+        fns.append(None)
+        continue
+      iname = mujoco.mj_id2name(mjm, mujoco.mjtObj.mjOBJ_PLUGIN,
+                                int(mjm.geom_plugin[g]))
+      fn = (sdf_plugins or {}).get(iname)
+      if isinstance(fn, str):
+        fn = collision_sdf.SDF_REGISTRY.get(fn)
+      if fn is None:
+        fn = collision_sdf.SDF_REGISTRY.get(iname)
+      if fn is None:
+        raise NotImplementedError(
+            f'SDF geom {g} (plugin instance {iname!r}) has no SDF '
+            'callable: pass sdf_plugins={name: fn} or register in '
+            'collision_sdf.SDF_REGISTRY')
+      fns.append(fn)
+    geom_sdf_fn = tuple(fns)
+
   m = types.Model(
       nq=mjm.nq, nv=mjm.nv, nu=mjm.nu, na=mjm.na, nbody=mjm.nbody,
       njnt=mjm.njnt, ngeom=mjm.ngeom, nsite=mjm.nsite, ncam=mjm.ncam,
@@ -373,6 +400,7 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
       ntendon=mjm.ntendon, nwrap=mjm.nwrap, nsensor=mjm.nsensor,
       nsensordata=mjm.nsensordata, nhistory=mjm.nhistory,
       ne=ne, nf=nf, nl=nl, nefc=nefc, ncon=ncon, ncand=ncand,
+      geom_sdf_fn=geom_sdf_fn,
       **flex_fields,
       con_classes=con_classes, con_compact=con_compact, con_dim=slot_dim,
       opt=opt, stat=stat, tree=tree, efc=efc_layout,

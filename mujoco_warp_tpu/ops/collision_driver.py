@@ -142,8 +142,10 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
     if key not in collision_primitive.PAIR_NCON:
       is_hf = (key[0] == types.GeomType.HFIELD and
                key[1] in collision_hfield.HFIELD_NCON)
-      if not is_hf and not (key[0] in collision_convex.CONVEX_TYPES and
-                            key[1] in collision_convex.CONVEX_TYPES):
+      is_sdf = types.GeomType.SDF in key  # SDF descent narrowphase
+      if not is_hf and not is_sdf and not (
+          key[0] in collision_convex.CONVEX_TYPES and
+          key[1] in collision_convex.CONVEX_TYPES):
         raise NotImplementedError(
             f'collision pair {(_GT(key[0]).name, _GT(key[1]).name)} '
             'is not supported yet')
@@ -181,6 +183,8 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
       j += 1
     if keys[i][0] == types.GeomType.HFIELD:
       k = collision_hfield.HFIELD_NCON[types.GeomType(keys[i][1])]
+    elif types.GeomType.SDF in keys[i]:
+      k = 4  # SDF descent: 4 separated minima
     elif keys[i] in collision_primitive.PAIR_NCON:
       k = collision_primitive.PAIR_NCON[keys[i]]
     else:  # convex MPR: 4-point manifold for flat-flat pairs
@@ -294,6 +298,10 @@ def _narrowphase_candidates(m: types.Model, d: types.Data):
     if fn is None:
       if t1 == types.GeomType.HFIELD:
         fn = collision_hfield.make_hfield_collider(int(t2))
+      elif types.GeomType.SDF in (t1, t2):
+        from mujoco_warp_tpu.ops import collision_sdf
+        fn = collision_sdf.make_sdf_group_collider(
+            m, int(t1), int(t2), m.pair_geom1[idx], m.pair_geom2[idx])
       else:
         fn = collision_convex.make_convex_collider(int(t1), int(t2))
     g1 = m.pair_geom1[idx]

@@ -31,6 +31,20 @@ _BIG = 1e10
 SDF_REGISTRY: Dict[str, Callable] = {}
 
 
+def torus_sdf(radius1: float = 0.35, radius2: float = 0.15):
+  """mujoco.sdf.torus analog: ring of major radius1/minor radius2 in the
+  local x-y plane."""
+
+  def fn(p, size):
+    ring = jnp.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2 + 1e-18) - radius1
+    return jnp.sqrt(ring ** 2 + p[..., 2] ** 2 + 1e-18) - radius2
+
+  return fn
+
+
+SDF_REGISTRY['mujoco.sdf.torus'] = torus_sdf()
+
+
 def _snorm(v, axis=-1):
   # norm with non-NaN gradient at 0 (descent points cross axes/corners)
   return jnp.sqrt(jnp.sum(v * v, axis=axis) + 1e-18)
@@ -66,15 +80,19 @@ def sdf_primitive(gtype: int, p, size):
   raise NotImplementedError(f'SDF for geom type {gtype}')
 
 
-def _world_sdf(gtype: int, pos, mat, size, x):
-  """SDF of a posed geom at world points x (..., 3)."""
+def _world_sdf(gtype: int, pos, mat, size, x, fn=None):
+  """SDF of a posed geom at world points x (..., 3); ``fn`` overrides
+  the analytic primitive (plugin SDFs, geom type SDF)."""
   local = jnp.einsum('...ij,...i->...j', mat, x - pos)
+  if fn is not None:
+    return fn(local, size)
   return sdf_primitive(gtype, local, size)
 
 
 def sdf_collide(t1: int, t2: int, pos1, mat1, size1, pos2, mat2, size2,
                 iterations: int = 20, initpoints: int = 8,
-                step: float = 0.05):
+                step: float = 0.05, fn1=None, fn2=None,
+                ncon_out: int = 4):
   """Contact between two shapes by SDF descent.
 
   Returns (dist, pos, normal) for the deepest point found.  Batched over
@@ -84,22 +102,31 @@ def sdf_collide(t1: int, t2: int, pos1, mat1, size1, pos2, mat2, size2,
   dtype = pos1.dtype
 
   def objective(x):
-    a = _world_sdf(t1, pos1, mat1, size1, x)
-    b = _world_sdf(t2, pos2, mat2, size2, x)
+    a = _world_sdf(t1, pos1, mat1, size1, x, fn1)
+    b = _world_sdf(t2, pos2, mat2, size2, x, fn2)
     return jnp.maximum(a, b)
 
   grad_fn = jax.grad(lambda x: jnp.sum(objective(x)))
 
-  # init points on the segment between centers (reference uses halton
-  # points in the intersection AABB; the segment covers the contact zone
-  # for convex shapes)
-  ts = jnp.linspace(0.15, 0.85, initpoints, dtype=dtype)
-  x0 = pos1[:, None, :] + (pos2 - pos1)[:, None, :] * ts[None, :, None]
-  # deterministic off-axis jitter: axis-aligned starts otherwise sit on
-  # symmetry lines where the max-SDF gradient can stall the descent
-  jit = (jnp.arange(initpoints * 3, dtype=dtype).reshape(
-      1, initpoints, 3) % 7.0 - 3.0) * 1e-4
-  x = (x0 + jit).reshape(-1, 3)
+  # init points: a Halton cloud over the overlap region (reference
+  # collision_sdf.py samples halton points in the intersection AABB).
+  # Segment-of-centers inits sit on symmetry axes (a flat torus's
+  # contact ring is 0.35 off-axis) and stall the max-SDF descent.
+  def _halton(i, b):
+    f, r = 1.0, 0.0
+    while i > 0:
+      f /= b
+      r += f * (i % b)
+      i //= b
+    return r
+  h = np.array([[_halton(i + 1, 2), _halton(i + 1, 3), _halton(i + 1, 5)]
+                for i in range(initpoints)], np.float32) * 2.0 - 1.0
+  ext1 = jnp.max(size1, axis=-1)
+  ext2 = jnp.max(size2, axis=-1)
+  ext = jnp.minimum(ext1, ext2)[:, None]  # (n, 1) overlap scale
+  mid = 0.5 * (pos1 + pos2)
+  x = (mid[:, None, :] +
+       jnp.asarray(h)[None, :, :] * ext[:, :, None]).reshape(-1, 3)
   p1r = jnp.repeat(pos1, initpoints, 0)
   m1r = jnp.repeat(mat1, initpoints, 0)
   s1r = jnp.repeat(size1, initpoints, 0)
@@ -108,8 +135,8 @@ def sdf_collide(t1: int, t2: int, pos1, mat1, size1, pos2, mat2, size2,
   s2r = jnp.repeat(size2, initpoints, 0)
 
   def obj(x):
-    a = _world_sdf(t1, p1r, m1r, s1r, x)
-    b = _world_sdf(t2, p2r, m2r, s2r, x)
+    a = _world_sdf(t1, p1r, m1r, s1r, x, fn1)
+    b = _world_sdf(t2, p2r, m2r, s2r, x, fn2)
     return jnp.maximum(a, b)
 
   g = jax.grad(lambda xx: jnp.sum(obj(xx)))
@@ -119,29 +146,56 @@ def sdf_collide(t1: int, t2: int, pos1, mat1, size1, pos2, mat2, size2,
     gn = gr / jnp.maximum(jnp.linalg.norm(gr, axis=-1, keepdims=True),
                           1e-12)
     # backtracking-free small steps with decay
-    lr = step * (0.7 ** (i // 4))
+    lr = step * (0.8 ** (i // 4))
     return x - lr * gn
 
   x = jax.lax.fori_loop(0, iterations, body, x)
   val = obj(x).reshape(n, initpoints)
   x = x.reshape(n, initpoints, 3)
-  best = jnp.argmin(val, axis=-1)
-  xb = jnp.take_along_axis(x, best[:, None, None], 1)[:, 0]
-  vb = jnp.take_along_axis(val, best[:, None], 1)[:, 0]
+
+  # top-k mutually separated minima (a resting torus touches the plane in
+  # a circle: one deepest point cannot support it; the reference gets
+  # multiple contacts from its per-initpoint threads + contact merging)
+  min_sep = 0.35 * jnp.minimum(
+      jnp.max(size1, axis=-1), jnp.max(size2, axis=-1))  # (n,)
+  picks_x, picks_v = [], []
+  masked = val
+  for _ in range(ncon_out):
+    b = jnp.argmin(masked, axis=-1)
+    xb = jnp.take_along_axis(x, b[:, None, None], 1)[:, 0]
+    vb = jnp.take_along_axis(masked, b[:, None], 1)[:, 0]
+    picks_x.append(xb)
+    picks_v.append(vb)
+    near = jnp.linalg.norm(x - xb[:, None, :], axis=-1) < min_sep[:, None]
+    masked = jnp.where(near, _BIG, masked)
+  xs = jnp.stack(picks_x, axis=0)  # (k, n, 3)
+  vs = jnp.stack(picks_v, axis=0)  # (k, n)
 
   # contact normal: gradient of sdf_2 − sdf_1 direction (1 → 2)
-  g1v = jax.grad(lambda xx: jnp.sum(_world_sdf(t1, pos1, mat1, size1,
-                                               xx)))(xb)
-  g2v = jax.grad(lambda xx: jnp.sum(_world_sdf(t2, pos2, mat2, size2,
-                                               xx)))(xb)
-  nrm = g1v - g2v
-  nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True),
-                          1e-12)
-  # dist: the max-sdf value at the optimum ≈ half the signed gap
-  return 2.0 * vb, xb, nrm
+  def normal_at(xb):
+    g1v = jax.grad(lambda xx: jnp.sum(_world_sdf(t1, pos1, mat1, size1,
+                                                 xx, fn1)))(xb)
+    g2v = jax.grad(lambda xx: jnp.sum(_world_sdf(t2, pos2, mat2, size2,
+                                                 xx, fn2)))(xb)
+    nrm = g1v - g2v
+    return nrm / jnp.maximum(
+        jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+
+  nrms = jnp.stack([normal_at(xs[k]) for k in range(ncon_out)], axis=0)
+  # dist = sdfA + sdfB at the optimum: near the contact both fields are
+  # ~linear, so the sum is the exact signed gap whether the point sits on
+  # either surface or the kink (2*max over-reports by the kink residual);
+  # exhausted picks (masked to _BIG) stay far and inactive
+  def gap_at(xb):
+    a = _world_sdf(t1, pos1, mat1, size1, xb, fn1)
+    b = _world_sdf(t2, pos2, mat2, size2, xb, fn2)
+    return a + b
+  gaps = jnp.stack([gap_at(xs[k]) for k in range(ncon_out)], axis=0)
+  gaps = jnp.where(vs >= _BIG / 4.0, _BIG, gaps)
+  return gaps, xs, nrms
 
 
-def make_sdf_collider(t1: int, t2: int):
+def make_sdf_collider(t1: int, t2: int, fn1=None, fn2=None):
   """Collider with the standard (m, d, g1, g2) signature (1 contact)."""
 
   def collider(m, d, g1, g2):
@@ -149,7 +203,28 @@ def make_sdf_collider(t1: int, t2: int):
         t1, t2, d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
         d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
         iterations=int(m.opt.sdf_iterations) * 2,
-        initpoints=max(4, int(m.opt.sdf_initpoints) // 5))
-    return dist[None], pos[None], nrm[None]
+        initpoints=max(8, int(m.opt.sdf_initpoints) // 2),
+        fn1=fn1, fn2=fn2)
+    return dist, pos, nrm  # (4, n) / (4, n, 3)
+
+  return collider
+
+
+def make_sdf_group_collider(m, t1: int, t2: int, g1_ids, g2_ids):
+  """Per-pair SDF dispatch for a pair group (plugin SDFs differ per
+  geom; SDF scenes are small, so a host loop over pairs is fine)."""
+  subs = []
+  for a, b in zip(np.asarray(g1_ids), np.asarray(g2_ids)):
+    fn1 = m.geom_sdf_fn[int(a)] if m.geom_sdf_fn else None
+    fn2 = m.geom_sdf_fn[int(b)] if m.geom_sdf_fn else None
+    subs.append(make_sdf_collider(t1, t2, fn1=fn1, fn2=fn2))
+
+  def collider(mm, d, g1, g2):
+    outs = [sub(mm, d, g1[i:i + 1], g2[i:i + 1])
+            for i, sub in enumerate(subs)]
+    dist = jnp.concatenate([o[0] for o in outs], axis=1)
+    pos = jnp.concatenate([o[1] for o in outs], axis=1)
+    nrm = jnp.concatenate([o[2] for o in outs], axis=1)
+    return dist, pos, nrm  # (4, npairs, ...)
 
   return collider

@@ -557,6 +557,8 @@ class Model:
   geom_bodyid: np.ndarray = field(static=True, default=None)
   geom_dataid: np.ndarray = field(static=True, default=None)
   geom_fluid: np.ndarray = field(static=True, default=None)  # (ngeom, 12)
+  # per-geom SDF callable for geom type SDF (plugin SDFs), else None
+  geom_sdf_fn: Tuple = field(static=True, default=())
   geom_priority: np.ndarray = field(static=True, default=None)
   geom_solmix: Array = None  # (ngeom,)
   geom_solref: Array = None  # (ngeom, NREF)
