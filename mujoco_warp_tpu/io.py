@@ -303,12 +303,6 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
   # ---- validation (reference: io.py:312-418)
   if mjm.opt.solver == mujoco.mjtSolver.mjSOL_PGS:
     raise NotImplementedError('PGS solver is not supported (use CG/Newton).')
-  for i in range(mjm.njnt):
-    if mjm.jnt_type[i] == mujoco.mjtJoint.mjJNT_FREE:
-      # free joints must be at tree roots (ancestor dofs would break cdof_dot)
-      if mjm.body_parentid[mjm.jnt_bodyid[i]] != 0:
-        pass  # MuJoCo itself enforces placement; trust the compiler.
-
   # C MuJoCo's default tolerance (1e-8) targets float64; in fp32 the solver
   # would burn its whole iteration budget bouncing around the optimum
   # (reference: io.py:429 applies the same 1e-6 floor)

@@ -24,15 +24,51 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _memory_report(obj, name):
-  out = {}
-  for field, val in vars(obj).items() if hasattr(obj, '__dict__') else []:
-    pass
-  total = 0
-  for leaf in jax.tree.leaves(obj):
-    if hasattr(leaf, 'nbytes'):
-      total += leaf.nbytes
-  return total
+def _memory_report(obj):
+  """Per-field device memory (reference: testspeed.py:64-72).
+
+  Returns (total_bytes, {field: bytes} sorted desc, top consumers only).
+  """
+  import dataclasses
+  per_field = {}
+  if dataclasses.is_dataclass(obj):
+    for f in dataclasses.fields(obj):
+      val = getattr(obj, f.name)
+      n = sum(leaf.nbytes for leaf in jax.tree.leaves(val)
+              if hasattr(leaf, 'nbytes'))
+      if n:
+        per_field[f.name] = n
+  total = sum(leaf.nbytes for leaf in jax.tree.leaves(obj)
+              if hasattr(leaf, 'nbytes'))
+  per_field = dict(sorted(per_field.items(), key=lambda kv: -kv[1])[:12])
+  return total, per_field
+
+
+def public_api():
+  """Reflected benchmarkable API: public functions with the uniform
+  (m: Model, d: Data) -> Data signature (reference: testspeed.py:45-51
+  discovers --function targets the same way)."""
+  import inspect
+
+  from mujoco_warp_tpu.ops import (collision_driver, constraint,
+                                   forward as fwd, inverse, passive,
+                                   sensor, smooth, solver)
+  api = {}
+  for mod in (fwd, smooth, collision_driver, constraint, solver, sensor,
+              passive, inverse):
+    for name, fn in vars(mod).items():
+      if name.startswith('_') or not callable(fn):
+        continue
+      try:
+        params = list(inspect.signature(fn).parameters.values())
+      except (TypeError, ValueError):
+        continue
+      if (len(params) >= 2 and params[0].name == 'm' and
+          params[1].name == 'd' and
+          all(p.default is not inspect.Parameter.empty
+              for p in params[2:])):
+        api.setdefault(name, fn)
+  return api
 
 
 def event_trace(m, d, reps: int = 10):
@@ -81,7 +117,12 @@ def main(argv=None):
   p = argparse.ArgumentParser(description='mjwarp-tpu-testspeed')
   p.add_argument('mjcf')
   p.add_argument('--nworld', type=int, default=8192)
-  p.add_argument('--nstep', type=int, default=100)
+  p.add_argument('--nstep', type=int, default=1000)
+  p.add_argument('--function', default='step',
+                 help='public API function to benchmark (reflected; '
+                      'see testspeed.public_api())')
+  p.add_argument('--measure_alloc', action='store_true',
+                 help='report nacon/nefc/solver_niter bucket stats')
   p.add_argument('--format', choices=['human', 'short', 'json'],
                  default='human')
   p.add_argument('--event_trace', action='store_true')
@@ -98,10 +139,63 @@ def main(argv=None):
   if args.override:
     m = io.override_model(m, args.override)
 
-  metrics = benchmarks.run(mjm, nworld=args.nworld, nstep=args.nstep,
-                           seed=args.seed)
-  metrics['model_memory'] = _memory_report(m, 'model')
-  metrics['data_memory'] = _memory_report(d, 'data')
+  if args.function != 'step':
+    api = public_api()
+    if args.function not in api:
+      p.error(f'unknown --function {args.function!r}; available: '
+              f'{sorted(api)}')
+    fn = api[args.function]
+    vfn = jax.jit(lambda dd: jax.vmap(lambda x: fn(m, x))(dd))
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(vfn(d))
+    jit_duration = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(args.nstep):
+      out = vfn(out)
+    jax.block_until_ready(out)
+    run_time = time.perf_counter() - t0
+    steps = args.nworld * args.nstep
+    metrics = {
+        'function': args.function,
+        'jit_duration': jit_duration,
+        'run_time': run_time,
+        'steps_per_sec': steps / run_time,
+        'realtime_factor': float('nan'),
+        'ns_per_step': run_time / steps * 1e9,
+        'converged_worlds': int(np.sum(np.all(np.isfinite(
+            np.asarray(jax.device_get(out.qpos))), axis=-1))),
+        'solver_niter_mean': float(np.mean(np.asarray(
+            jax.device_get(out.solver_niter)))),
+    }
+    d = out
+  else:
+    metrics = benchmarks.run(mjm, nworld=args.nworld, nstep=args.nstep,
+                             seed=args.seed)
+  mt, mf = _memory_report(m)
+  dt_, df = _memory_report(d)
+  metrics['model_memory'] = mt
+  metrics['data_memory'] = dt_
+  metrics['model_memory_fields'] = mf
+  metrics['data_memory_fields'] = df
+
+  if args.measure_alloc:
+    # bucket stats over a fresh rollout tail (reference: testspeed.py
+    # --measure_alloc / --measure_solver nacon/nefc/niter buckets)
+    from mujoco_warp_tpu.ops import forward as fwd
+    step_j = jax.jit(lambda dd: fwd.step(m, dd))
+    dd = step_j(d)
+    ncon_s, nefc_s, niter_s = [], [], []
+    for _ in range(10):
+      dd = step_j(dd)
+      ncon_s.append(np.asarray(jax.device_get(dd.ncon_active)))
+      nefc_s.append(np.asarray(jax.device_get(dd.nefc_active)))
+      niter_s.append(np.asarray(jax.device_get(dd.solver_niter)))
+    for key, vals in (('nacon', ncon_s), ('nefc', nefc_s),
+                      ('solver_niter', niter_s)):
+      arr = np.stack(vals)
+      metrics[f'{key}_mean'] = float(arr.mean())
+      metrics[f'{key}_p95'] = float(np.percentile(arr, 95))
+      metrics[f'{key}_max'] = int(arr.max())
 
   if args.event_trace:
     metrics['trace'] = event_trace(m, d)
@@ -127,6 +221,14 @@ def main(argv=None):
           f"{metrics['solver_niter_mean']:.1f}")
     print(f"  Model memory: {metrics['model_memory']/2**20:.1f} MiB; "
           f"Data memory: {metrics['data_memory']/2**20:.1f} MiB")
+    top = list(metrics['data_memory_fields'].items())[:5]
+    print('  Data memory top fields: ' +
+          ', '.join(f'{k} {v/2**20:.1f} MiB' for k, v in top))
+    if args.measure_alloc:
+      print(f"  nacon mean {metrics['nacon_mean']:.1f} p95 "
+            f"{metrics['nacon_p95']:.0f}; nefc mean "
+            f"{metrics['nefc_mean']:.1f} p95 {metrics['nefc_p95']:.0f}; "
+            f"niter p95 {metrics['solver_niter_p95']:.0f}")
     if args.event_trace:
       print('\nEvent trace (µs/step per stage):')
       for k, v in metrics['trace'].items():
