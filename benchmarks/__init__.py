@@ -21,28 +21,28 @@ _REPO = os.path.join(os.path.dirname(__file__), '..', 'mujoco_warp_tpu',
 BENCHMARKS = {
     # flagship: the reference suite's own humanoid scene (27 DoF,
     # Newton+Euler, 8192 worlds) — apples-to-apples with BASELINE.md
-    'humanoid': (os.path.join(_REF, 'humanoid/humanoid.xml'), 8192, 100,
+    'humanoid': (os.path.join(_REF, 'humanoid/humanoid.xml'), 8192, 1000,
                  (), {1: 8, 3: 16}),
     # 81-DoF sparse crossover scene from the reference suite
     'three_humanoids': (os.path.join(_REF, 'humanoid/three_humanoids.xml'),
-                        8192, 100, (), 100),
-    'humanoid_dmc': (os.path.join(_DMC, 'humanoid.xml'), 8192, 100, (),
+                        8192, 1000, (), {1: 50, 3: 50}),
+    'humanoid_dmc': (os.path.join(_DMC, 'humanoid.xml'), 8192, 1000, (),
                      None),
-    'walker': (os.path.join(_DMC, 'walker.xml'), 8192, 100, (), None),
-    'cheetah': (os.path.join(_DMC, 'cheetah.xml'), 8192, 100, (), None),
-    'hopper': (os.path.join(_DMC, 'hopper.xml'), 8192, 100, (), None),
+    'walker': (os.path.join(_DMC, 'walker.xml'), 8192, 1000, (), None),
+    'cheetah': (os.path.join(_DMC, 'cheetah.xml'), 8192, 1000, (), None),
+    'hopper': (os.path.join(_DMC, 'hopper.xml'), 8192, 1000, (), None),
     # contact-heavy primitive zoo (condim 1/3/4/6)
-    'spheres': (os.path.join(_REPO, 'spheres.xml'), 8192, 100, (), None),
+    'spheres': (os.path.join(_REPO, 'spheres.xml'), 8192, 1000, (), None),
     # equality/limit/friction + actuators
-    'constraints': (os.path.join(_REPO, 'constraints.xml'), 8192, 100, (),
+    'constraints': (os.path.join(_REPO, 'constraints.xml'), 8192, 1000, (),
                     None),
     # CG solver crossover scene
     'spheres_cg': (os.path.join(_REPO, 'spheres.xml'), 8192, 100,
                    ('opt.solver=cg',), None),
     # elliptic cones (jnp solver path)
-    'spheres_elliptic': (os.path.join(_REPO, 'spheres.xml'), 4096, 100,
+    'spheres_elliptic': (os.path.join(_REPO, 'spheres.xml'), 4096, 1000,
                          ('opt.cone=elliptic',), None),
     # cloth: 81-vertex flex grid, edge equality + vertex-plane contacts
     # (reference cloth benchmark analog; CG solver, 243 DoF)
-    'cloth': (os.path.join(_REPO, 'cloth.xml'), 32, 100, (), None),
+    'cloth': (os.path.join(_REPO, 'cloth.xml'), 32, 1000, (), None),
 }

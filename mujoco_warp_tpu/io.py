@@ -1009,3 +1009,27 @@ def override_model(m: types.Model, overrides) -> types.Model:
         cand_includemargin=(margin - gap).astype(np.float32),
         cand_margin=margin.astype(np.float32))
   return m
+
+
+def load_trajectory(npz_path: str, mjm: mujoco.MjModel,
+                    mjd: mujoco.MjData) -> np.ndarray:
+  """Load a ctrl sequence from NPZ, ZOH-resampled to the model timestep
+  (reference: io.py:3883).
+
+  NPZ keys: 'ctrl' (nstep, nu), 'times' (nstep,), optional 'qpos'
+  (1, nq) / 'qvel' (1, nv) initial state written into ``mjd``.
+  Returns the expanded (nstep*decimation, nu) ctrl array.
+  """
+  data = np.load(npz_path)
+  ctrl = data['ctrl']
+  times = data['times']
+  if ctrl.shape[1] != mjm.nu:
+    raise ValueError(
+        f'ctrl shape {ctrl.shape} does not match model nu={mjm.nu}')
+  if 'qpos' in data and data['qpos'].shape[1] == mjm.nq:
+    mjd.qpos[:] = data['qpos'][0]
+  if 'qvel' in data and data['qvel'].shape[1] == mjm.nv:
+    mjd.qvel[:] = data['qvel'][0]
+  ctrl_dt = (times[1] - times[0]) if len(times) > 1 else mjm.opt.timestep
+  decimation = max(1, round(float(ctrl_dt) / float(mjm.opt.timestep)))
+  return np.repeat(ctrl, decimation, axis=0)

@@ -123,6 +123,8 @@ def main(argv=None):
                       'see testspeed.public_api())')
   p.add_argument('--measure_alloc', action='store_true',
                  help='report nacon/nefc/solver_niter bucket stats')
+  p.add_argument('--replay', default=None,
+                 help='NPZ ctrl trajectory to replay (io.load_trajectory)')
   p.add_argument('--format', choices=['human', 'short', 'json'],
                  default='human')
   p.add_argument('--event_trace', action='store_true')
@@ -135,11 +137,53 @@ def main(argv=None):
   from mujoco_warp_tpu import benchmarks, io
 
   mjm = mujoco.MjModel.from_xml_path(args.mjcf)
+  replay_ctrl = None
+  if args.replay:
+    mjd0 = mujoco.MjData(mjm)
+    mujoco.mj_resetData(mjm, mjd0)
+    replay_ctrl = io.load_trajectory(args.replay, mjm, mjd0)
+    if args.nstep > len(replay_ctrl):
+      args.nstep = len(replay_ctrl)
   m, d = benchmarks.build(mjm, args.nworld, args.seed)
   if args.override:
     m = io.override_model(m, args.override)
+  if replay_ctrl is not None:
+    # replay rollout: broadcast the recorded ctrl across worlds per step
+    from mujoco_warp_tpu.ops import forward as fwd
+    if args.replay and 'qpos' in np.load(args.replay):
+      d = io.put_data(mjm, mjd0, m, nworld=args.nworld)
+    step_j = jax.jit(lambda dd, c: fwd.step(m, dd.replace(
+        ctrl=jnp.broadcast_to(c, dd.ctrl.shape))))
+    c0 = jnp.asarray(replay_ctrl[0], d.qpos.dtype)
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(step_j(d, c0))
+    jit_duration = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = d
+    for i in range(args.nstep):
+      out = step_j(out, jnp.asarray(replay_ctrl[i], d.qpos.dtype))
+    jax.block_until_ready(out)
+    run_time = time.perf_counter() - t0
+    steps = args.nworld * args.nstep
+    metrics = {
+        'replay': args.replay,
+        'jit_duration': jit_duration,
+        'run_time': run_time,
+        'steps_per_sec': steps / run_time,
+        'realtime_factor': (args.nstep * float(jax.device_get(
+            m.opt.timestep))) / run_time * args.nworld,
+        'ns_per_step': run_time / steps * 1e9,
+        'converged_worlds': int(np.sum(np.all(np.isfinite(
+            np.asarray(jax.device_get(out.qpos))), axis=-1))),
+        'solver_niter_mean': float(np.mean(np.asarray(
+            jax.device_get(out.solver_niter)))),
+    }
+    d = out
+    args.function = '_replayed'
 
-  if args.function != 'step':
+  if args.function == '_replayed':
+    pass
+  elif args.function != 'step':
     api = public_api()
     if args.function not in api:
       p.error(f'unknown --function {args.function!r}; available: '
