@@ -991,9 +991,9 @@ def _make_k4(m: types.Model, dtype, damped: bool):
   def kernel(qM_ref, qLD_ref, qfs_ref, ws_ref, qvel_ref, qpos_ref,
              cdof_ref, dist_ref, pos_ref, frame_ref, im_ref, fri_ref,
              solref_ref, solimp_ref, invw_ref, mask1_ref, mask2_ref,
-             com1_ref, com2_ref, tol_ref, lstol_ref, mi_ref, h_ref,
-             ir_ref, qpos_out, qvel_out, warm_out, qacc_out, niter_out,
-             scr_ref):
+             com1_ref, com2_ref, damp_ref, tol_ref, lstol_ref, mi_ref,
+             h_ref, ir_ref, qpos_out, qvel_out, warm_out, qacc_out,
+             niter_out, scr_ref):
     W = qpos_ref.shape[-1]
     qM3 = qM_ref[:].reshape(nv, nv, W)
     L3 = qLD_ref[:].reshape(nv, nv, W)
@@ -1106,7 +1106,9 @@ def _make_k4(m: types.Model, dtype, damped: bool):
 
     # ---- Euler integrate (forward.py:276/388)
     if damped:
-      damp = jnp.asarray(damping[:, None])
+      damp = damp_ref[:]  # (nv, 1); a captured jnp constant of this
+      # shape is rejected by pallas ("captures constants"), so it rides
+      # as a broadcast input like K1's armature
       eye = (jax.lax.broadcasted_iota(jnp.int32, (nv, nv), 0) ==
              jax.lax.broadcasted_iota(jnp.int32, (nv, nv), 1))
       Md = qM3 + eye.astype(dtype)[:, :, None] * (h * damp)[:, None, :]
@@ -1165,7 +1167,11 @@ def _k4_call(m: types.Model, damped, qM, qLD, qfs, ws, qvel, qpos, cdof,
     return pl.BlockSpec((lead, TILE_W), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
 
+  def bstat(r):
+    return pl.BlockSpec((r, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
   smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+  damp = m.dof_damping.astype(dtype)[:, None]
 
   if con:
     con_args = (con['dist'], con['pos'], con['frame'], con['im'],
@@ -1186,7 +1192,7 @@ def _k4_call(m: types.Model, damped, qM, qLD, qfs, ws, qvel, qpos, cdof,
                 bw(nv * 6), bw(ncon), bw(3 * ncon), bw(9 * ncon),
                 bw(ncon), bw(2 * ncon), bw(2 * ncon), bw(5 * ncon),
                 bw(ncon), bw(nv * ncon), bw(nv * ncon), bw(3 * ncon),
-                bw(3 * ncon), smem, smem, smem, smem, smem],
+                bw(3 * ncon), bstat(nv), smem, smem, smem, smem, smem],
       out_specs=[bw(nq), bw(nv), bw(nv), bw(nv), bw(1)],
       out_shape=[
           jax.ShapeDtypeStruct((nq, W), dtype),
@@ -1199,7 +1205,7 @@ def _k4_call(m: types.Model, damped, qM, qLD, qfs, ws, qvel, qpos, cdof,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
-  )(qM, qLD, qfs, ws, qvel, qpos, cdof, *con_args, *scalars)
+  )(qM, qLD, qfs, ws, qvel, qpos, cdof, *con_args, damp, *scalars)
 
 
 # --------------------------------------------------------- step / rollout
