@@ -210,6 +210,12 @@ def supported_features(m: types.Model) -> bool:
     return False
   if m.nflex:
     return False
+  # scale gate: the whole-step kernels unroll over bodies/candidates;
+  # beyond this the Mosaic compile blows up (three_humanoids at
+  # ncand=1614/nv=81 crashes the TPU compiler) — the general stage-split
+  # path with the solver/mass-chain megakernels handles large scenes
+  if m.nv > 64 or m.ncand > 512 or m.nbody > 32:
+    return False
   if o.integrator != types.IntegratorType.EULER:
     return False
   if o.solver != types.SolverType.NEWTON:
@@ -897,7 +903,7 @@ def _middle(m: types.Model, bias, qpos, qvel, ctrl, dtype):
                         jnp.clip(force, jnp.asarray(frng[:, 0])[:, None],
                                  jnp.asarray(frng[:, 1])[:, None]), force)
     dof_idx = m.jnt_dofadr[m.actuator_trnid[:, 0]]
-    qfrc_act = qfrc_act.at[dof_idx].add(
+    qfrc_act = qfrc_act.at[dof_idx].add(  # xla-glue
         jnp.asarray(gear0)[:, None] * force)
 
   # ---- passive springs/dampers (passive.py; hinge/slide only by gate)
@@ -911,7 +917,7 @@ def _middle(m: types.Model, bias, qpos, qvel, ctrl, dtype):
     qps = _host(m.qpos_spring, np.float32)[qadr]
     contrib = -jnp.asarray(stiff[sj])[:, None] * (
         qpos[qadr] - jnp.asarray(qps)[:, None])
-    qfrc_passive = qfrc_passive.at[dadr].add(contrib)
+    qfrc_passive = qfrc_passive.at[dadr].add(contrib)  # xla-glue
 
   return qfrc_passive - bias + qfrc_act
 
