@@ -29,6 +29,10 @@ def supported(m: types.Model, d: types.Data) -> bool:
   from mujoco_warp_tpu.ops import smooth as osmooth
   if osmooth._has_tendon_armature(m):
     return False
+  # compile-scale gate (see pallas/solver.supported): static-sparsity
+  # unrolls grow ~nbody^2; large trees crash the Mosaic compile
+  if m.nbody > 32 or m.nv > 64:
+    return False
   if d.qpos.ndim != 2 or d.qpos.shape[0] % TILE_W != 0:
     return False
   if jax.default_backend() == 'cpu':

@@ -49,7 +49,12 @@ def supported(m: types.Model, d: types.Data) -> bool:
     return False
   vmem = 4 * TILE_W * (3 * m.nefc * m.nv + 2 * m.nv * m.nv +
                        10 * m.nefc + 16 * m.nv)
-  return vmem < _VMEM_BUDGET
+  if vmem >= _VMEM_BUDGET:
+    return False
+  # compile-scale gate: the kernel unrolls the H build over nv rows of
+  # (nefc, i, 128) contractions; beyond ~20k nefc*nv the Mosaic compile
+  # crashes the TPU compile helper (three_humanoids: 313*81)
+  return m.nefc * m.nv <= 12_000
 
 
 def _masks(m: types.Model):
