@@ -15,6 +15,12 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# TPU matmuls default to bfloat16 inputs; the jnp solver/smooth fallback
+# paths (used beyond the Pallas kernels' scale gates) need f32 products
+# or Newton diverges (three_humanoids NaNs at nv=81).  The Pallas kernels
+# are unaffected (explicit VPU f32).
+jax.config.update('jax_default_matmul_precision', 'highest')
 import numpy as np
 
 from mujoco_warp_tpu import io, types

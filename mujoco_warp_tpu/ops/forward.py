@@ -524,8 +524,7 @@ def euler(m: types.Model, d: types.Data) -> types.Data:
     M = d.qM + jnp.diag(dt * m.dof_damping)
     L = jax.scipy.linalg.cholesky(M, lower=True)
     rhs = d.qM @ d.qacc
-    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-    qacc = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    qacc = math.chol_solve(L, rhs)
     return _advance(m, d, qacc)
   return _advance(m, d, d.qacc)
 

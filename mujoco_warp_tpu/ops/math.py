@@ -256,3 +256,34 @@ def make_frame(a: jax.Array) -> jax.Array:
   a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), _EPS)
   b, c = orthogonals(a)
   return jnp.stack([a, b, c], axis=-2)
+
+
+def chol_solve(L, b):
+  """Solve L L^T x = b for a single world (L (nv, nv) lower, b (nv,)).
+
+  For nv <= 64 this is lax triangular_solve; beyond that XLA's blocked
+  TriangularSolve custom call exceeds the TPU's scoped-vmem limit under
+  an 8192-world vmap (InvertDiagBlocksLowerTriangular at 81x81 wants
+  17.45M of 16M), so large systems use explicit column substitution —
+  2*nv sequential rank-1 updates that batch cleanly over worlds.
+  """
+  nv = L.shape[-1]
+  if nv <= 64:
+    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+  def fwd(i, carry):
+    r, y = carry
+    yi = r[i] / L[i, i]
+    return r - L[:, i] * yi, y.at[i].set(yi)
+
+  _, y = jax.lax.fori_loop(0, nv, fwd, (b, jnp.zeros_like(b)))
+
+  def bwd(k, carry):
+    r, x = carry
+    i = nv - 1 - k
+    xi = r[i] / L[i, i]
+    return r - L[i, :] * xi, x.at[i].set(xi)
+
+  _, x = jax.lax.fori_loop(0, nv, bwd, (y, jnp.zeros_like(y)))
+  return x

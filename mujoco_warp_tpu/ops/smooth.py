@@ -286,8 +286,7 @@ def factor_m(m: types.Model, d: types.Data) -> types.Data:
 
 def solve_m(m: types.Model, d: types.Data, x: jax.Array) -> jax.Array:
   """Solve M y = x using the dense factor (reference: smooth.py:3212)."""
-  y = jax.scipy.linalg.solve_triangular(d.qLD, x, lower=True)
-  return jax.scipy.linalg.solve_triangular(d.qLD.T, y, lower=False)
+  return math.chol_solve(d.qLD, x)
 
 
 def com_vel(m: types.Model, d: types.Data) -> types.Data:

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mujoco_warp_tpu import types
+from mujoco_warp_tpu.ops import math
 from mujoco_warp_tpu.ops import smooth
 
 _CT = types.ConstraintType
@@ -520,8 +521,7 @@ def _gradient(m, d, st, Ma, force, state, Jaref, mu_scale):
       H = H + _cone_hessian(m, d, st, Jaref, state, mu_scale)
     L = jax.scipy.linalg.cholesky(
         H + jnp.eye(m.nv, dtype=H.dtype) * _MINVAL, lower=True)
-    y = jax.scipy.linalg.solve_triangular(L, grad, lower=True)
-    Mgrad = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    Mgrad = math.chol_solve(L, grad)
   else:
     Mgrad = smooth.solve_m(m, d, grad)
   return grad, Mgrad, qfrc_constraint

@@ -28,6 +28,8 @@ def supported(m: types.Model, d: types.Data) -> bool:
     return False
   if jax.default_backend() == 'cpu':
     return False
+  if m.nv > 64:  # compile-scale gate (see pallas/solver.supported)
+    return False
   return 4 * TILE_W * (3 * m.nv * m.nv + 6 * m.nv) < _VMEM_BUDGET
 
 
