@@ -266,11 +266,16 @@ def supported_features(m: types.Model) -> bool:
     return False
   if np.any(np.asarray(jax.device_get(m.body_gravcomp)) != 0):
     return False
-  # collisions: lane-form colliders only
+  # collisions: lane-form colliders only; K4's contact assembly builds
+  # frictionless (1) and 4-row pyramidal (3) rows — condim 4/6 rows
+  # (torsional/rolling pyramid) are not in the fused assembler yet
   if m.opt.run_collision_detection:
     for (t1, t2, idx, slot) in m.pair_groups:
       if (int(t1), int(t2)) not in _FUSED_COLLIDERS:
         return False
+    if m.ncand and not set(
+        int(x) for x in np.asarray(m.con_dim)) <= {1, 3}:
+      return False
   return True
 
 

@@ -39,3 +39,18 @@ def test_pallas_vs_jnp(fname, kw):
   assert_close(out.qacc, ref.qacc, 'qacc', atol=5e-3, rtol=5e-3)
   assert_close(out.qfrc_constraint, ref.qfrc_constraint,
                'qfrc_constraint', atol=5e-2, rtol=5e-2)
+
+
+def test_fused_gate_rejects_condim46():
+  """condim 4/6 scenes must not take the fused path (its assembler
+  builds condim-3 pyramid rows; regression for a silent-wrong-rows gap)."""
+  import mujoco
+  from mujoco_warp_tpu import io
+  from mujoco_warp_tpu.pallas import fused
+  xml = '''<mujoco><worldbody>
+  <geom type="plane" size="2 2 .1" condim="6"/>
+  <body pos="0 0 0.2"><freejoint/>
+    <geom type="sphere" size="0.1" condim="6" mass="0.2"/></body>
+  </worldbody></mujoco>'''
+  m = io.put_model(mujoco.MjModel.from_xml_string(xml))
+  assert not fused.supported_features(m)
