@@ -21,6 +21,18 @@ import jax.numpy as jnp
 # or Newton diverges (three_humanoids NaNs at nv=81).  The Pallas kernels
 # are unaffected (explicit VPU f32).
 jax.config.update('jax_default_matmul_precision', 'highest')
+
+# persistent compile cache: the step program takes ~30 s to build cold;
+# cached reruns (driver/bench iterations) skip it (reference analog: CUDA
+# graph capture is 0.3 s, so it never needed one)
+import os as _os_cache
+
+jax.config.update(
+    'jax_compilation_cache_dir',
+    _os_cache.environ.get('JAX_COMPILATION_CACHE_DIR',
+                          _os_cache.path.expanduser('~/.cache/jax_tpu_cache')))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 import numpy as np
 
 from mujoco_warp_tpu import io, types
@@ -136,11 +148,14 @@ def run(mjm, nworld: int = 8192, nstep: int = 100, seed: int = 0,
   if use_fused:
     # lanes-last rollout: layout conversion happens once, outside the loop
     d = fused.to_lane(m, d)
+    resort = _os.environ.get('BENCH_SORT_WORLDS', '1') != '0'
 
     def step_fn(st, key):
       if nu:
         ctrl, key = ou(st.ctrl, key)
         st = st._replace(ctrl=ctrl)
+      if resort:
+        st = fused.sort_worlds(st)
       return fused.step_lane(m, st), key
   else:
     def step_fn(dd, key):

@@ -661,23 +661,29 @@ def _compact_xla(m: types.Model, dist, cpos, cframe, stcom, dtype):
     S = jnp.where((rank[None] == srow) & act[None], 1.0, 0.0)
     valid = jnp.sum(S, axis=1)  # (cap, W) 0/1
 
-    def cx(f):  # (ncc, W) -> (cap, W)
-      return jnp.sum(S * f[None], axis=1)
+    # one contraction for every per-candidate field: S is HBM-resident
+    # at (cap, ncc, W); a per-field contraction re-reads it ~16x, one
+    # stacked einsum reads it once (measured 2.2 ms -> sub-ms glue)
+    def bcast(vals):  # per-candidate numpy consts -> (1, ncc, W)
+      return jnp.broadcast_to(
+          jnp.asarray(np.asarray(vals, np.float32))[None, :, None],
+          (1, ncc, W)).astype(dtype)
 
-    def cx_const(vals):  # per-candidate numpy consts -> (cap, W)
-      return cx(jnp.asarray(np.asarray(vals, np.float32))[:, None] *
-                jnp.ones((1, W), dtype))
+    F = jnp.concatenate([
+        distc[None], pos3[ci].transpose(1, 0, 2), fr9[ci].transpose(1, 0, 2),
+        bcast(bid1_np[ci]), bcast(bid2_np[ci]), bcast(pc_np[ci]),
+    ], axis=0)  # (16, ncc, W)
+    # multiply-reduce (VPU, exact f32): rows 13-15 are integer ids that
+    # feed float == compares downstream, so the contraction must not go
+    # through MXU bf16 passes
+    C = jnp.sum(S[None] * F[:, None], axis=2)  # (16, cap, W)
 
-    outs['dist'].append(cx(distc) + (1.0 - valid) * 1e10)
-    outs['pos'].append(
-        jnp.stack([cx(pos3[ci, r, :]) for r in range(3)],
-                  axis=1).reshape(cap * 3, W))
-    outs['frame'].append(
-        jnp.stack([cx(fr9[ci, r, :]) for r in range(9)],
-                  axis=1).reshape(cap * 9, W))
-    b1c = cx_const(bid1_np[ci])  # (cap, W) float body ids
-    b2c = cx_const(bid2_np[ci])
-    pcc = cx_const(pc_np[ci])
+    outs['dist'].append(C[0] + (1.0 - valid) * 1e10)
+    outs['pos'].append(C[1:4].transpose(1, 0, 2).reshape(cap * 3, W))
+    outs['frame'].append(C[4:13].transpose(1, 0, 2).reshape(cap * 9, W))
+    b1c = C[13]  # (cap, W) float body ids
+    b2c = C[14]
+    pcc = C[15]
 
     # params from the param-class id (exact float compares on small ints)
     present_pc = sorted(set(int(x) for x in pc_np[ci]))
@@ -1107,9 +1113,8 @@ def _make_k4(m: types.Model, dtype, damped: bool):
       Dv = jnp.concatenate(D_rows, axis=0)
       aref = jnp.concatenate(aref_rows, axis=0)
       fl = jnp.zeros((len(J_rows), W), dtype)
-      wz = jnp.zeros((len(J_rows), 1), dtype)
       qacc, _, niter = psolver.solve_core(
-          m, dtype, J, Dv, aref, fl, qM3, qfs, ws_ref[:], wz, wz,
+          m, dtype, J, Dv, aref, fl, qM3, qfs, ws_ref[:], None, None,
           tol_ref[0, 0], lstol_ref[0, 0], mi_ref[0, 0], _launder)
     else:
       qacc = _chol_solve_tile(L3, qfs, nv)
@@ -1223,7 +1228,11 @@ def _k4_call(m: types.Model, damped, qM, qLD, qfs, ws, qvel, qpos, cdof,
 
 
 class FusedState(NamedTuple):
-  """Lanes-last rollout state: every array is (rows, nworld)."""
+  """Lanes-last rollout state: every array is (rows, nworld).
+
+  ``world_id`` tracks world identity across lane permutations
+  (sort_worlds); ``from_lane`` restores the caller's world order.
+  """
 
   qpos: jax.Array  # (nq, W)
   qvel: jax.Array  # (nv, W)
@@ -1233,6 +1242,7 @@ class FusedState(NamedTuple):
   time: jax.Array  # (1, W)
   solver_niter: jax.Array  # (1, W) int32
   overflow: jax.Array  # (1, W) int32
+  world_id: jax.Array  # (1, W) int32
 
 
 def to_lane(m: types.Model, d: types.Data) -> FusedState:
@@ -1246,17 +1256,37 @@ def to_lane(m: types.Model, d: types.Data) -> FusedState:
       jnp.broadcast_to(d.time, (1, W)),
       solver_niter=jnp.zeros((1, W), jnp.int32),
       overflow=d.overflow.reshape(1, W).astype(jnp.int32),
+      world_id=jnp.arange(W, dtype=jnp.int32).reshape(1, W),
   )
 
 
 def from_lane(m: types.Model, st: FusedState, d: types.Data) -> types.Data:
+  # restore caller world order (identity unless sort_worlds ran)
+  inv = jnp.argsort(st.world_id[0])
+  g = lambda x: x.T[inv]
   return d.replace(
-      qpos=st.qpos.T, qvel=st.qvel.T,
-      ctrl=st.ctrl.T if m.nu else d.ctrl,
-      qacc_warmstart=st.warmstart.T, qacc=st.qacc.T,
-      time=st.time[0],
-      solver_niter=st.solver_niter[0],
-      overflow=st.overflow[0])
+      qpos=g(st.qpos), qvel=g(st.qvel),
+      ctrl=g(st.ctrl) if m.nu else d.ctrl,
+      qacc_warmstart=g(st.warmstart), qacc=g(st.qacc),
+      time=st.time[0, inv],
+      solver_niter=st.solver_niter[0, inv],
+      overflow=st.overflow[0, inv])
+
+
+def sort_worlds(st: FusedState) -> FusedState:
+  """Permute worlds across lanes by the previous step's solver_niter.
+
+  The Newton/linesearch ``while_loop``s in the solve kernel run per
+  128-lane tile at the tile's max trip count, so a tile's cost is set by
+  its hardest world.  Iteration counts are temporally coherent, so
+  sorting by last step's niter groups hard worlds into few tiles and
+  lets quiet tiles exit in one trip (the reference's analog is the
+  ``nsolving`` compaction of its conditional graph, solver.py:3491).
+  World identity rides in ``world_id``; ``from_lane`` undoes the
+  permutation for callers.
+  """
+  perm = jnp.argsort(st.solver_niter[0])
+  return jax.tree.map(lambda x: jnp.take(x, perm, axis=-1), st)
 
 
 def step_lane(m: types.Model, st: FusedState,
@@ -1289,7 +1319,7 @@ def step_lane(m: types.Model, st: FusedState,
   return FusedState(
       qpos=qpos_n, qvel=qvel_n, ctrl=st.ctrl, warmstart=warm,
       qacc=qacc_i, time=st.time + h, solver_niter=niter,
-      overflow=st.overflow | overflow)
+      overflow=st.overflow | overflow, world_id=st.world_id)
 
 
 def step(m: types.Model, d: types.Data,

@@ -132,15 +132,29 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
   the fused whole-step kernel (pallas/fused.py) share it.  ``launder(x,
   row)`` round-trips a (1, W) scalar through scratch to normalize Mosaic
   layouts.  Returns (qacc, force, niter_f32).
+
+  ``w_eq``/``w_fri`` may be ``None`` when the model statically has no
+  equality/friction rows — the corresponding piecewise terms then fold
+  away at trace time (the dominant linesearch cost is instruction count,
+  so dead branches are not free).
   """
   nv, nefc = m.nv, J.shape[0]
   iterations = int(m.opt.iterations)
   ls_iterations = int(m.opt.ls_iterations)
+  has_eq = w_eq is not None
+  has_fri = w_fri is not None
   if True:
     _launder = launder
-    w_ql = 1.0 - w_eq - w_fri
+    if has_eq or has_fri:
+      w_ql = 1.0
+      if has_eq:
+        w_ql = w_ql - w_eq
+      if has_fri:
+        w_ql = w_ql - w_fri
+    else:
+      w_ql = None  # all rows quadratic-like; weights fold away
     rescale = 1.0 / (meaninertia * float(nv))
-    rf = fl / jnp.maximum(D, _MINVAL)
+    rf = fl / jnp.maximum(D, _MINVAL) if has_fri else None
 
     def mat_vec_M(v):  # (nv, W) -> (nv, W)
       return jnp.sum(M * v[None, :, :], axis=1)
@@ -153,13 +167,15 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
 
     def update_constraint(Jaref):
       act = (Jaref < 0.0).astype(dtype)
-      f = jnp.where(w_eq > 0, -D * Jaref, -D * Jaref * act)
-      q = jnp.where(w_eq > 0, 1.0, act)
-      f_fri = jnp.where(Jaref <= -rf, fl,
-                        jnp.where(Jaref >= rf, -fl, -D * Jaref))
-      q_fri = ((Jaref > -rf) & (Jaref < rf)).astype(dtype)
-      f = jnp.where(w_fri > 0, f_fri, f)
-      q = jnp.where(w_fri > 0, q_fri, q)
+      nDJ = -D * Jaref
+      f = jnp.where(w_eq > 0, nDJ, nDJ * act) if has_eq else nDJ * act
+      q = jnp.where(w_eq > 0, 1.0, act) if has_eq else act
+      if has_fri:
+        f_fri = jnp.where(Jaref <= -rf, fl,
+                          jnp.where(Jaref >= rf, -fl, nDJ))
+        q_fri = ((Jaref > -rf) & (Jaref < rf)).astype(dtype)
+        f = jnp.where(w_fri > 0, f_fri, f)
+        q = jnp.where(w_fri > 0, q_fri, q)
       return f, q
 
     def gradient(Ma, force, quad):
@@ -183,64 +199,6 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
       Mgrad = _chol_solve_tile(L, grad, nv)
       return grad, Mgrad
 
-    def eval_delta(alpha, Jaref, jv, g1, g2):
-      """alpha (1, W) -> (Δcost, φ', φ'') each (1, W)."""
-      x = Jaref + alpha * jv
-      jvD = jv * D
-      grad0 = jvD * Jaref
-      hess = jv * jvD
-
-      c_eq = alpha * (grad0 + 0.5 * alpha * hess)
-      g_eq = grad0 + alpha * hess
-      h_eq = hess
-
-      quad0 = 0.5 * D * Jaref * Jaref
-      on0 = (Jaref < 0.0).astype(dtype)
-      cost0 = quad0 * on0
-      offset = quad0 - cost0
-      on = (x < 0.0).astype(dtype)
-      c_ql = jnp.where(x < 0.0, c_eq + offset, -cost0)
-      g_ql = g_eq * on
-      h_ql = hess * on
-
-      def fri_pt(xx):
-        mid = (-rf < xx) & (xx < rf)
-        c = jnp.where(mid, 0.5 * D * xx * xx,
-                      jnp.where(xx <= -rf, fl * (-0.5 * rf - xx),
-                                fl * (-0.5 * rf + xx)))
-        g = jnp.where(mid, jvD * xx,
-                      jnp.where(xx <= -rf, -fl * jv, fl * jv))
-        h = jnp.where(mid, hess, 0.0)
-        return c, g, h
-
-      cf, gf, hf = fri_pt(x)
-      cf0 = jnp.where((-rf < Jaref) & (Jaref < rf), 0.5 * D * Jaref *
-                      Jaref,
-                      jnp.where(Jaref <= -rf, fl * (-0.5 * rf - Jaref),
-                                fl * (-0.5 * rf + Jaref)))
-
-      c = w_eq * c_eq + w_ql * c_ql + w_fri * (cf - cf0)
-      g = w_eq * g_eq + w_ql * g_ql + w_fri * gf
-      h = w_eq * h_eq + w_ql * h_ql + w_fri * hf
-      cost = jnp.sum(c, axis=0, keepdims=True) + alpha * alpha * g2 + \
-          alpha * g1
-      grad = jnp.sum(g, axis=0, keepdims=True) + 2.0 * alpha * g2 + g1
-      hessian = jnp.sum(h, axis=0, keepdims=True) + 2.0 * g2
-      return cost, grad, hessian
-
-    def eval_p0(Jaref, jv, g1, g2):
-      jvD = jv * D
-      grad0 = jvD * Jaref
-      hess = jv * jvD
-      on = (Jaref < 0.0).astype(dtype)
-      mid = ((-rf < Jaref) & (Jaref < rf)).astype(dtype)
-      g_fr = mid * grad0 + (1 - mid) * jnp.where(Jaref <= -rf, -fl * jv,
-                                                 fl * jv)
-      g = w_eq * grad0 + w_ql * grad0 * on + w_fri * g_fr
-      h = w_eq * hess + w_ql * hess * on + w_fri * hess * mid
-      return (jnp.sum(g, 0, keepdims=True) + g1,
-              jnp.sum(h, 0, keepdims=True) + 2.0 * g2)
-
     def linesearch(Ma, Jaref, search):
       jv = J_vec(search)
       mv = mat_vec_M(search)
@@ -251,8 +209,78 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
       gtol = jnp.maximum(tol * ls_tol * snorm * meaninertia * float(nv),
                          1e-6)
 
-      ev = lambda a: eval_delta(a, Jaref, jv, g1, g2)
-      p1, p2 = eval_p0(Jaref, jv, g1, g2)
+      # ---- alpha-independent row quantities, hoisted out of the eval
+      # loop (each eval runs 3x per ls trip; recomputing these per eval
+      # tripled the dominant instruction count)
+      jvD = jv * D
+      grad0 = jvD * Jaref
+      hess = jv * jvD
+      quad0 = 0.5 * D * Jaref * Jaref
+      cost0 = quad0 * (Jaref < 0.0).astype(dtype)
+      offset = quad0 - cost0
+      if has_fri:
+        cf0 = jnp.where((-rf < Jaref) & (Jaref < rf), quad0,
+                        jnp.where(Jaref <= -rf, fl * (-0.5 * rf - Jaref),
+                                  fl * (-0.5 * rf + Jaref)))
+
+      def ev(alpha):
+        """alpha (1, W) -> (Δcost, φ', φ'') each (1, W)."""
+        x = Jaref + alpha * jv
+        g_eq = grad0 + alpha * hess
+        c_eq = 0.5 * alpha * (grad0 + g_eq)
+        on = (x < 0.0).astype(dtype)
+        c_ql = jnp.where(x < 0.0, c_eq + offset, -cost0)
+        g_ql = g_eq * on
+        h_ql = hess * on
+
+        if has_eq or has_fri:
+          c = w_ql * c_ql
+          g = w_ql * g_ql
+          h = w_ql * h_ql
+          if has_eq:
+            c = c + w_eq * c_eq
+            g = g + w_eq * g_eq
+            h = h + w_eq * hess
+          if has_fri:
+            mid = (-rf < x) & (x < rf)
+            cf = jnp.where(mid, 0.5 * D * x * x,
+                           jnp.where(x <= -rf, fl * (-0.5 * rf - x),
+                                     fl * (-0.5 * rf + x)))
+            gf = jnp.where(mid, jvD * x,
+                           jnp.where(x <= -rf, -fl * jv, fl * jv))
+            hf = hess * mid.astype(dtype)
+            c = c + w_fri * (cf - cf0)
+            g = g + w_fri * gf
+            h = h + w_fri * hf
+        else:
+          c, g, h = c_ql, g_ql, h_ql
+        cost = jnp.sum(c, axis=0, keepdims=True) + alpha * alpha * g2 + \
+            alpha * g1
+        grad = jnp.sum(g, axis=0, keepdims=True) + 2.0 * alpha * g2 + g1
+        hessian = jnp.sum(h, axis=0, keepdims=True) + 2.0 * g2
+        return cost, grad, hessian
+
+      def eval_p0():
+        on = (Jaref < 0.0).astype(dtype)
+        if has_eq or has_fri:
+          g = w_ql * grad0 * on
+          h = w_ql * hess * on
+          if has_eq:
+            g = g + w_eq * grad0
+            h = h + w_eq * hess
+          if has_fri:
+            mid = ((-rf < Jaref) & (Jaref < rf)).astype(dtype)
+            g_fr = mid * grad0 + (1 - mid) * jnp.where(
+                Jaref <= -rf, -fl * jv, fl * jv)
+            g = g + w_fri * g_fr
+            h = h + w_fri * hess * mid
+        else:
+          g = grad0 * on
+          h = hess * on
+        return (jnp.sum(g, 0, keepdims=True) + g1,
+                jnp.sum(h, 0, keepdims=True) + 2.0 * g2)
+
+      p1, p2 = eval_p0()
       p0c = jnp.zeros_like(p1)
 
       lo_alpha_in = -_sdiv(p1, p2)
@@ -401,6 +429,8 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
 
 def _make_kernel(m: types.Model, dtype):
   nefc = m.nefc
+  is_eq, is_fri = _masks(m)
+  eq_any, fri_any = bool(is_eq.any()), bool(is_fri.any())
 
   def kernel(J_ref, D_ref, aref_ref, fl_ref, M_ref, qfrc_smooth_ref,
              qacc0_ref, w_eq_ref, w_fri_ref, tol_ref, ls_tol_ref,
@@ -417,7 +447,9 @@ def _make_kernel(m: types.Model, dtype):
     J = J_ref[:]          # (nefc, nv, W)
     qacc_f, force_f, niter_f = solve_core(
         m, dtype, J, D_ref[:], aref_ref[:], fl_ref[:], M_ref[:],
-        qfrc_smooth_ref[:], qacc0_ref[:], w_eq_ref[:], w_fri_ref[:],
+        qfrc_smooth_ref[:], qacc0_ref[:],
+        w_eq_ref[:] if eq_any else None,
+        w_fri_ref[:] if fri_any else None,
         tol_ref[0, 0], ls_tol_ref[0, 0], meaninertia_ref[0, 0], _launder)
 
     qacc_out[:] = qacc_f
