@@ -150,34 +150,62 @@ def run(mjm, nworld: int = 8192, nstep: int = 100, seed: int = 0,
     d = fused.to_lane(m, d)
     resort = _os.environ.get('BENCH_SORT_WORLDS', '1') != '0'
 
-    def step_fn(st, key):
+    def step_fn(st, key, sort):
       if nu:
         ctrl, key = ou(st.ctrl, key)
         st = st._replace(ctrl=ctrl)
-      if resort:
+      if sort:
         st = fused.sort_worlds(st)
       return fused.step_lane(m, st), key
   else:
-    def step_fn(dd, key):
+    # world sorting pays off exactly when the tile-based Pallas solver
+    # runs (tiles exit their while loops at the tile max trip count);
+    # the jnp fallback solver is one batch-global loop, where sorting
+    # buys nothing
+    from mujoco_warp_tpu.pallas import solver as psolver
+    resort = (psolver.supported(m, d) and
+              _os.environ.get('BENCH_SORT_WORLDS', '1') != '0')
+    W = d.qpos.shape[0]
+
+    def sort_data(dd):
+      perm = jnp.argsort(dd.solver_niter)
+      return jax.tree.map(
+          lambda x: x[perm]
+          if hasattr(x, 'shape') and x.ndim >= 1 and x.shape[0] == W
+          else x, dd)
+
+    def step_fn(dd, key, sort):
       if nu:
         ctrl, key = ou(dd.ctrl, key)
         dd = dd.replace(ctrl=ctrl)
+      if sort:
+        dd = sort_data(dd)
       return fwd.step(m, dd), key
 
-  step = jax.jit(step_fn, donate_argnums=0)
+  # sorting every step pays ~2 ms of lane permutation; iteration counts
+  # are temporally coherent, so sorting every few steps keeps tiles
+  # homogeneous at a fraction of the cost
+  sort_every = int(_os.environ.get('BENCH_SORT_EVERY', 4)) if resort else 0
+
+  step = jax.jit(step_fn, donate_argnums=0, static_argnums=2)
   key = jax.random.PRNGKey(seed)
 
+  do_sort = lambda i: sort_every > 0 and i % sort_every == 0
+
   t0 = time.perf_counter()
-  d, key = step(d, key)
+  d, key = step(d, key, do_sort(0))
   jax.block_until_ready(d)
   jit_duration = time.perf_counter() - t0
-  for _ in range(warmup_steps - 1):
-    d, key = step(d, key)
+  if sort_every > 1:  # compile the no-sort variant too, outside the timing
+    d, key = step(d, key, False)
+    jax.block_until_ready(d)
+  for i in range(warmup_steps - 1):
+    d, key = step(d, key, do_sort(i))
   d = jax.block_until_ready(d)
 
   t0 = time.perf_counter()
-  for _ in range(nstep):
-    d, key = step(d, key)
+  for i in range(nstep):
+    d, key = step(d, key, do_sort(i))
   d = jax.block_until_ready(d)
   run_time = time.perf_counter() - t0
 

@@ -57,6 +57,32 @@ _FUSED_COLLIDERS = {
     (_GT.CAPSULE, _GT.CAPSULE),
 }
 
+# sensor types the fused rollout evaluates (world-major XLA glue after
+# K4, reusing the general-path sensor stages — see _sensor_eval); types
+# needing actuator/tendon state or efc-row introspection stay on the
+# general path
+_ST = types.SensorType
+_FUSED_SENSOR_TYPES = {
+    int(t) for t in (
+        _ST.TOUCH, _ST.ACCELEROMETER, _ST.VELOCIMETER, _ST.GYRO,
+        _ST.FORCE, _ST.TORQUE, _ST.MAGNETOMETER, _ST.JOINTPOS,
+        _ST.JOINTVEL, _ST.FRAMEPOS, _ST.FRAMEQUAT, _ST.FRAMEXAXIS,
+        _ST.FRAMEYAXIS, _ST.FRAMEZAXIS, _ST.FRAMELINVEL, _ST.FRAMEANGVEL,
+        _ST.FRAMELINACC, _ST.FRAMEANGACC, _ST.SUBTREECOM,
+        _ST.SUBTREELINVEL, _ST.SUBTREEANGMOM, _ST.CLOCK)
+}
+
+
+def _sensors_ok(m: types.Model) -> bool:
+  if not m.nsensor:
+    return True
+  if not set(int(t) for t in m.sensor_type) <= _FUSED_SENSOR_TYPES:
+    return False
+  # camera-frame operands would need camlight in the glue
+  ot = np.concatenate([np.asarray(m.sensor_objtype),
+                       np.asarray(m.sensor_reftype)])
+  return not np.any(ot == int(types.ObjType.CAM))
+
 
 # ------------------------------------------------------------ lane helpers
 # All per-body/per-joint values are 2D (rows, W); grouped narrowphase
@@ -228,7 +254,9 @@ def supported_features(m: types.Model) -> bool:
              types.DisableBit.GRAVITY | types.DisableBit.WARMSTART |
              types.DisableBit.CLAMPCTRL):
     return False
-  if m.neq or m.ntendon or m.na or m.nhistory or m.nsensor or m.nmocap:
+  if m.neq or m.ntendon or m.na or m.nhistory or m.nmocap:
+    return False
+  if not _sensors_ok(m):
     return False
   if m.nf:  # dof/tendon friction rows: not yet in the fused assembler
     return False
@@ -1286,7 +1314,10 @@ def sort_worlds(st: FusedState) -> FusedState:
   permutation for callers.
   """
   perm = jnp.argsort(st.solver_niter[0])
-  return jax.tree.map(lambda x: jnp.take(x, perm, axis=-1), st)
+  # transpose -> leading-axis gather -> transpose beats a lane-axis
+  # gather (row DMAs vs per-lane shuffles; measured 1.9 vs 2.5-4 ms at
+  # 8192 worlds); callers amortize further by sorting every few steps
+  return jax.tree.map(lambda x: x.T[perm].T, st)
 
 
 def step_lane(m: types.Model, st: FusedState,

@@ -29,10 +29,6 @@ def supported(m: types.Model, d: types.Data) -> bool:
   from mujoco_warp_tpu.ops import smooth as osmooth
   if osmooth._has_tendon_armature(m):
     return False
-  # compile-scale gate (see pallas/solver.supported): static-sparsity
-  # unrolls grow ~nbody^2; large trees crash the Mosaic compile
-  if m.nbody > 32 or m.nv > 64:
-    return False
   if d.qpos.ndim != 2 or d.qpos.shape[0] % TILE_W != 0:
     return False
   if jax.default_backend() == 'cpu':
@@ -43,7 +39,7 @@ def supported(m: types.Model, d: types.Data) -> bool:
 
 
 def mass_chain_core(m: types.Model, dtype, ci, cdof, qv, armature,
-                    gravity):
+                    gravity, ancm=None):
   """crb → qM → Cholesky → com_vel → rne on one world tile, lanes-last.
 
   Pure function over VMEM values shared by the standalone mass-chain
@@ -52,21 +48,28 @@ def mass_chain_core(m: types.Model, dtype, ci, cdof, qv, armature,
   (1, W) per dof; armature (nv, 1); gravity (3, 1) or (3, W).
   Returns (qM (nv,nv,W), L (nv,nv,W), cvel list (6,W), cdof_dot list,
   bias (nv, W)).
+
+  ``ancm`` (nv, nv) selects the vectorized qM build for large trees: the
+  per-ancestor-pair unroll emits O(nv^2) vector ops (the Mosaic compile
+  bomb at three_humanoids' nv=81); with ancm the whole matrix is 12
+  (nv, nv, W) FMAs masked by the ancestor relation (1.0 → cdof[j]·f[i],
+  2.0 → cdof[i]·f[j], 0 → structural zero).  Kernels must feed ancm as an
+  input (Pallas rejects captured (nv, nv) constants).
   """
   nb, nv = m.nbody, m.nv
   dof_bodyid = tuple(int(x) for x in m.dof_bodyid)
-  subtree = m.tree.subtree_mask.astype(np.float32)  # (nb, nb)
   ancestor = m.tree.ancestor_mask.astype(np.float32)  # (nv, nv)
   body_dof = m.tree.body_dof_mask.astype(np.float32)  # (nb, nv)
-  dof_subtree = m.tree.dof_subtree_mask.astype(np.float32)  # (nv, nb)
   cdofdot_m = m.tree.cdofdot_mask.astype(np.float32)  # (nv, nv)
   no_gravity = bool(m.opt.disableflags & types.DisableBit.GRAVITY)
+  parent = tuple(int(x) for x in m.body_parentid)
+  # bottom-up body order: deepest level first, so a body's subtree sum is
+  # complete before it is folded into its parent (O(nbody) adds vs the
+  # O(nbody * depth) per-subtree unroll)
+  topo = [int(b) for lvl in m.tree.body_levels for b in lvl]
 
   # static-sparsity index lists (the kernel unrolls only real tree edges,
   # the analog of the reference's per-branch kernels)
-  sub_nz = [np.nonzero(subtree[b])[0] for b in range(nb)]
-  bd_nz = [np.nonzero(body_dof[b])[0] for b in range(nb)]
-  ds_nz = [np.nonzero(dof_subtree[i])[0] for i in range(nv)]
   cm_nz = [np.nonzero(cdofdot_m[i])[0] for i in range(nv)]
 
   W = qv[0].shape[-1]
@@ -83,45 +86,58 @@ def mass_chain_core(m: types.Model, dtype, ci, cdof, qv, armature,
           jnp.sum(flat36[6 * r:6 * r + 6] * v6, axis=0, keepdims=True)
           for r in range(6)], axis=0)
 
-    # ---- crb: subtree sums over actual members only
-    crbs = [None] * nb
-    for b in range(nb):
-      acc = ci[sub_nz[b][0]]
-      for j in sub_nz[b][1:]:
-        acc = acc + ci[j]
-      crbs[b] = acc  # (36, W)
+    # ---- crb: bottom-up subtree accumulation
+    crbs = list(ci)
+    for b in reversed(topo):
+      p = parent[b]
+      crbs[p] = crbs[p] + crbs[b]
 
-    # ---- mass matrix rows over actual ancestor pairs
+    # ---- mass matrix
     f = [mat6vec(crbs[dof_bodyid[i]], cdof[i]) for i in range(nv)]
-    zrow = jnp.zeros((1, W), dtype)
-    qM_rows = []
-    for i in range(nv):
-      cols = []
-      for j in range(nv):
-        if ancestor[i, j] or ancestor[j, i]:
-          jj, ii = (j, i) if ancestor[i, j] else (i, j)
-          cols.append(jnp.sum(cdof[jj] * f[ii], axis=0, keepdims=True))
-        else:
-          cols.append(zrow)
-      qM_rows.append(jnp.concatenate(cols, axis=0))  # (nv, W)
-    qM = jnp.stack(qM_rows, axis=0)  # (nv, nv, W)
+    if ancm is not None:
+      F = jnp.stack(f, axis=0)      # (nv, 6, W)
+      CD = jnp.stack(cdof, axis=0)  # (nv, 6, W)
+      G1 = None  # G1[i, j] = cdof[j]·f[i]
+      G2 = None  # G2[i, j] = cdof[i]·f[j]
+      for k in range(6):
+        t1 = F[:, k, :][:, None, :] * CD[:, k, :][None, :, :]
+        t2 = CD[:, k, :][:, None, :] * F[:, k, :][None, :, :]
+        G1 = t1 if G1 is None else G1 + t1
+        G2 = t2 if G2 is None else G2 + t2
+      sel = ancm[:, :, None]
+      qM = jnp.where(sel == 1.0, G1, 0.0) + jnp.where(sel == 2.0, G2, 0.0)
+    else:
+      zrow = jnp.zeros((1, W), dtype)
+      qM_rows = []
+      for i in range(nv):
+        cols = []
+        for j in range(nv):
+          if ancestor[i, j] or ancestor[j, i]:
+            jj, ii = (j, i) if ancestor[i, j] else (i, j)
+            cols.append(jnp.sum(cdof[jj] * f[ii], axis=0, keepdims=True))
+          else:
+            cols.append(zrow)
+        qM_rows.append(jnp.concatenate(cols, axis=0))  # (nv, W)
+      qM = jnp.stack(qM_rows, axis=0)  # (nv, nv, W)
     eye = (jax.lax.broadcasted_iota(jnp.int32, (nv, nv), 0) ==
            jax.lax.broadcasted_iota(jnp.int32, (nv, nv), 1))
     eye_f = eye.astype(dtype)
     qM = qM + eye_f[:, :, None] * armature[:, None, :]
-    L = _chol_tile(qM, nv)
+    # large trees skip the in-kernel unrolled Cholesky (compile scale);
+    # the caller factors qM with XLA's batched MXU Cholesky instead
+    L = _chol_tile(qM, nv) if ancm is None else None
 
-    # ---- com_vel over actual dof lists
+    # ---- com_vel: top-down accumulation (cvel[b] = cvel[parent] + own)
     cdof_qvel = [cdof[i] * qv[i] for i in range(nv)]
+    own_dofs = [np.nonzero(np.asarray(dof_bodyid) == b)[0]
+                for b in range(nb)]
     cvel = [None] * nb
-    for b in range(nb):
-      if len(bd_nz[b]) == 0:
-        cvel[b] = jnp.zeros((6, W), dtype)
-      else:
-        acc = cdof_qvel[bd_nz[b][0]]
-        for i in bd_nz[b][1:]:
-          acc = acc + cdof_qvel[i]
-        cvel[b] = acc
+    cvel[0] = jnp.zeros((6, W), dtype)
+    for b in topo:
+      acc = cvel[parent[b]]
+      for i in own_dofs[b]:
+        acc = acc + cdof_qvel[int(i)]
+      cvel[b] = acc
 
     cdof_dot = [None] * nv
     for i in range(nv):
@@ -142,37 +158,61 @@ def mass_chain_core(m: types.Model, dtype, ci, cdof, qv, armature,
     else:
       g = gravity * jnp.ones((3, W), dtype)
       cacc0 = jnp.concatenate([jnp.zeros((3, W), dtype), -g], axis=0)
+    # cacc: top-down accumulation (cacc[b] = cacc[parent] + own dofs)
+    cacc = [None] * nb
+    cacc[0] = cacc0
     cfrc = [None] * nb
-    for b in range(nb):
-      if b == 0:
-        cacc_b = jnp.zeros((6, W), dtype)
-      else:
-        cacc_b = cacc0
-        for i in bd_nz[b]:
-          cacc_b = cacc_b + cdof_dot[i] * qv[i]
+    cfrc[0] = jnp.zeros((6, W), dtype)
+    for b in topo:
+      acc = cacc[parent[b]]
+      for i in own_dofs[b]:
+        acc = acc + cdof_dot[int(i)] * qv[int(i)]
+      cacc[b] = acc
       iv = mat6vec(ci[b], cvel[b])
-      ia = mat6vec(ci[b], cacc_b)
+      ia = mat6vec(ci[b], acc)
       va, vl = cvel[b][:3], cvel[b][3:]
       fa, fl = iv[:3], iv[3:]
       vxf = jnp.concatenate(
           [cross3(va, fa) + cross3(vl, fl), cross3(va, fl)], axis=0)
       cfrc[b] = ia + vxf
 
-    bias = []
-    for i in range(nv):
-      acc = cfrc[ds_nz[i][0]]
-      for b in ds_nz[i][1:]:
-        acc = acc + cfrc[b]
-      bias.append(jnp.sum(acc * cdof[i], axis=0, keepdims=True))
-    bias = jnp.concatenate(bias, axis=0)
+    # bias: bottom-up cfrc subtree totals, then one dot per dof
+    cfrc_tot = list(cfrc)
+    for b in reversed(topo):
+      p = parent[b]
+      cfrc_tot[p] = cfrc_tot[p] + cfrc_tot[b]
+    bias = jnp.concatenate([
+        jnp.sum(cfrc_tot[dof_bodyid[i]] * cdof[i], axis=0, keepdims=True)
+        for i in range(nv)], axis=0)
   return qM, L, cvel, cdof_dot, bias
+
+
+def _big_tree(m: types.Model) -> bool:
+  """Vectorized-qM / XLA-Cholesky variant beyond the unroll scale."""
+  return m.nv > 48 or m.nbody > 32
+
+
+def _ancm_table(m: types.Model) -> np.ndarray:
+  """(nv, nv) qM build selector: 1 → cdof[j]·f[i] (j ancestor of i),
+  2 → cdof[i]·f[j], 0 → structural zero."""
+  anc = m.tree.ancestor_mask
+  sel = np.zeros(anc.shape, np.float32)
+  sel[anc] = 1.0
+  sel[anc.T & ~anc] = 2.0
+  return sel
 
 
 def _make_kernel(m: types.Model, dtype):
   nb, nv = m.nbody, m.nv
+  big = _big_tree(m)
 
   def kernel(cinert_ref, cdof_ref, qvel_ref, armature_ref, gravity_ref,
-             qM_out, qLD_out, cvel_out, cdofdot_out, bias_out):
+             *rest):
+    if big:
+      ancm_ref = rest[0]
+      qM_out, cvel_out, cdofdot_out, bias_out = rest[1:]
+    else:
+      qM_out, qLD_out, cvel_out, cdofdot_out, bias_out = rest
     # all values stay 2D (rows, W): Mosaic cannot shape-cast the sublane
     # dim across ranks, so 6x6/6-blocks are addressed by static slices and
     # per-tree sums unroll over the static sparsity lists (the analog of
@@ -185,9 +225,11 @@ def _make_kernel(m: types.Model, dtype):
     cdof = [cdof2[6 * i:6 * (i + 1)] for i in range(nv)]   # (6, W) each
     qv = [qvel[i:i + 1] for i in range(nv)]                # (1, W) each
     qM, L, cvel, cdof_dot, bias = mass_chain_core(
-        m, dtype, ci, cdof, qv, armature_ref[:], gravity_ref[:])
+        m, dtype, ci, cdof, qv, armature_ref[:], gravity_ref[:],
+        ancm=ancm_ref[:] if big else None)
     qM_out[:] = qM.reshape(nv * nv, W)
-    qLD_out[:] = L.reshape(nv * nv, W)
+    if not big:
+      qLD_out[:] = L.reshape(nv * nv, W)
     cvel_out[:] = jnp.concatenate(cvel, axis=0)
     cdofdot_out[:] = jnp.concatenate(cdof_dot, axis=0)
     bias_out[:] = bias
@@ -218,32 +260,48 @@ def mass_chain(m: types.Model, d: types.Data,
                         memory_space=pltpu.VMEM)
 
   kernel = _make_kernel(m, dtype)
-  qM, qLD, cvel, cdof_dot, bias = pl.pallas_call(
+  big = _big_tree(m)
+  in_specs = [bw(nb * 36), bw(nv * 6), bw(nv), bstat(nv, 1), bstat(3, 1)]
+  inputs = [cinert, cdof, qvel,
+            m.dof_armature.astype(dtype)[:, None],
+            m.opt.gravity.astype(dtype)[:, None]]
+  out_specs = [bw(nv * nv), bw(nv * nv), bw(nb * 6), bw(nv * 6), bw(nv)]
+  out_shape = [
+      jax.ShapeDtypeStruct((nv * nv, W), dtype),
+      jax.ShapeDtypeStruct((nv * nv, W), dtype),
+      jax.ShapeDtypeStruct((nb * 6, W), dtype),
+      jax.ShapeDtypeStruct((nv * 6, W), dtype),
+      jax.ShapeDtypeStruct((nv, W), dtype),
+  ]
+  if big:
+    in_specs.append(bstat(nv, nv))
+    inputs.append(jnp.asarray(_ancm_table(m), dtype))
+    del out_specs[1], out_shape[1]  # qLD comes from XLA below
+  outs = pl.pallas_call(
       kernel,
       grid=(W // TILE_W,),
-      in_specs=[
-          bw(nb * 36), bw(nv * 6), bw(nv),
-          bstat(nv, 1), bstat(3, 1),
-      ],
-      out_specs=[bw(nv * nv), bw(nv * nv), bw(nb * 6), bw(nv * 6),
-                 bw(nv)],
-      out_shape=[
-          jax.ShapeDtypeStruct((nv * nv, W), dtype),
-          jax.ShapeDtypeStruct((nv * nv, W), dtype),
-          jax.ShapeDtypeStruct((nb * 6, W), dtype),
-          jax.ShapeDtypeStruct((nv * 6, W), dtype),
-          jax.ShapeDtypeStruct((nv, W), dtype),
-      ],
+      in_specs=in_specs,
+      out_specs=out_specs,
+      out_shape=out_shape,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
-  )(cinert, cdof, qvel,
-    m.dof_armature.astype(dtype)[:, None],
-    m.opt.gravity.astype(dtype)[:, None])
+  )(*inputs)
+  if big:
+    qM, cvel, cdof_dot, bias = outs
+    qM_w = jnp.moveaxis(qM, -1, 0).reshape(W, nv, nv)
+    # factor with XLA's batched (MXU) Cholesky — the in-kernel unrolled
+    # factorization is a compile bomb at this nv
+    qLD_w = jax.scipy.linalg.cholesky(
+        qM_w + jnp.eye(nv, dtype=dtype) * 1e-12, lower=True)
+  else:
+    qM, qLD, cvel, cdof_dot, bias = outs
+    qM_w = jnp.moveaxis(qM, -1, 0).reshape(W, nv, nv)
+    qLD_w = jnp.moveaxis(qLD, -1, 0).reshape(W, nv, nv)
 
   return d.replace(
-      qM=jnp.moveaxis(qM, -1, 0).reshape(W, nv, nv),
-      qLD=jnp.moveaxis(qLD, -1, 0).reshape(W, nv, nv),
+      qM=qM_w,
+      qLD=qLD_w,
       cvel=jnp.moveaxis(cvel, -1, 0).reshape(W, nb, 6),
       cdof_dot=jnp.moveaxis(cdof_dot, -1, 0).reshape(W, nv, 6),
       qfrc_bias=bias.T)

@@ -33,6 +33,16 @@ from mujoco_warp_tpu import types
 TILE_W = 128
 _MINVAL = 1e-15
 _VMEM_BUDGET = 96 * 1024 * 1024
+# beyond this nefc*nv, the unrolled H-build/Cholesky are replaced by
+# fori_loop forms over VMEM scratch (the unrolled forms emit O(nefc*nv^2)
+# vector instructions and blow up the Mosaic compile; the loop forms
+# compile in seconds at any scale)
+_UNROLL_LIMIT = 12_000
+
+
+def _use_big(m: types.Model) -> bool:
+  """Loop-form (fori over scratch) kernels beyond the unroll limit."""
+  return m.nefc * m.nv > _UNROLL_LIMIT
 
 
 def supported(m: types.Model, d: types.Data) -> bool:
@@ -49,12 +59,9 @@ def supported(m: types.Model, d: types.Data) -> bool:
     return False
   vmem = 4 * TILE_W * (3 * m.nefc * m.nv + 2 * m.nv * m.nv +
                        10 * m.nefc + 16 * m.nv)
-  if vmem >= _VMEM_BUDGET:
-    return False
-  # compile-scale gate: the kernel unrolls the H build over nv rows of
-  # (nefc, i, 128) contractions; beyond ~20k nefc*nv the Mosaic compile
-  # crashes the TPU compile helper (three_humanoids: 313*81)
-  return m.nefc * m.nv <= 12_000
+  if _use_big(m):
+    vmem += 4 * TILE_W * 3 * m.nv * m.nv  # H/LT/LR scratch
+  return vmem < _VMEM_BUDGET
 
 
 def _masks(m: types.Model):
@@ -124,8 +131,78 @@ def _chol_solve_tile(L, b, nv):
   return jnp.stack(xs, axis=0)
 
 
+# ------------------------------------------------ loop forms (large nv)
+# The unrolled H-build/Cholesky above emit O(nefc*nv^2) vector
+# instructions (each row/column its own op chain), which crashes the
+# Mosaic compile beyond nefc*nv ~ 12k (three_humanoids: 313x81).  These
+# fori_loop forms keep the instruction count O(loop body) by making the
+# row index dynamic over VMEM scratch; the arithmetic is identical.
+
+
+def _extract_row(x, j, nv):
+  """(1, W) row j of x (nv, W) with traced j (masked reduce — Mosaic has
+  no dynamic sublane indexing of values)."""
+  row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+  return jnp.sum(jnp.where(row == j, x, 0.0), axis=0, keepdims=True)
+
+
+def _chol_big(H_scr, LT_scr, nv, dtype):
+  """Cholesky over scratch: H_scr (nv, nv, W) is consumed (right-looking
+  rank-1 updates); LT_scr receives L columns as rows (LT[j] = L[:, j])."""
+  W = H_scr.shape[-1]
+  row = jax.lax.broadcasted_iota(jnp.int32, (nv, W), 0)
+
+  def body(j, _):
+    colH = H_scr[pl.ds(j, 1)][0]  # (nv, W): row j == column j (symmetric)
+    pivot = jnp.sum(jnp.where(row == j, colH, 0.0), axis=0, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(pivot, _MINVAL))
+    col = jnp.where(row >= j, colH * inv, 0.0)
+    LT_scr[pl.ds(j, 1)] = col[None]
+    H_scr[:] = H_scr[:] - col[:, None, :] * col[None, :, :]
+    return 0
+
+  jax.lax.fori_loop(0, nv, body, 0)
+
+
+def _chol_solve_big(LT_scr, LR_scr, b, nv):
+  """Solve L Lᵀ x = b from the loop-form factors.
+
+  LT_scr[j] = column j of L; LR_scr[i] = row i of L (built by the caller
+  with a static-unrolled transpose of LT).
+  """
+  W = b.shape[-1]
+  row = jax.lax.broadcasted_iota(jnp.int32, (b.shape[0], W), 0)
+
+  def fwd(j, carry):
+    r, y = carry
+    Lc = LT_scr[pl.ds(j, 1)][0]
+    diag = jnp.sum(jnp.where(row == j, Lc, 0.0), axis=0, keepdims=True)
+    rj = jnp.sum(jnp.where(row == j, r, 0.0), axis=0, keepdims=True)
+    yj = rj / jnp.maximum(diag, _MINVAL)
+    y = y + jnp.where(row == j, yj, 0.0)
+    r = r - Lc * yj
+    return (r, y)
+
+  _, y = jax.lax.fori_loop(0, nv, fwd, (b, jnp.zeros_like(b)))
+
+  def bwd(t, carry):
+    r, x = carry
+    i = nv - 1 - t
+    Lr = LR_scr[pl.ds(i, 1)][0]  # row i of L = column i of Lᵀ
+    diag = jnp.sum(jnp.where(row == i, Lr, 0.0), axis=0, keepdims=True)
+    ri = jnp.sum(jnp.where(row == i, r, 0.0), axis=0, keepdims=True)
+    xi = ri / jnp.maximum(diag, _MINVAL)
+    x = x + jnp.where(row == i, xi, 0.0)
+    r = r - Lr * xi
+    return (r, x)
+
+  _, x = jax.lax.fori_loop(0, nv, bwd, (y, jnp.zeros_like(y)))
+  return x
+
+
 def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
-               qacc_in, w_eq, w_fri, tol, ls_tol, meaninertia, launder):
+               qacc_in, w_eq, w_fri, tol, ls_tol, meaninertia, launder,
+               big=None):
   """Newton solve on one world tile, lanes-last (reference solver.py:3715).
 
   Pure function over VMEM values so both the standalone solver kernel and
@@ -137,8 +214,14 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
   equality/friction rows — the corresponding piecewise terms then fold
   away at trace time (the dominant linesearch cost is instruction count,
   so dead branches are not free).
+
+  ``big`` switches to the compile-scalable loop forms: J must then be the
+  (nv, nefc, W) value and ``big`` a dict with ``J_ref`` (the matching
+  input ref, for dynamic row reads) and scratch refs ``H``/``LT``/``LR``
+  each (nv, nv, W).
   """
-  nv, nefc = m.nv, J.shape[0]
+  nv = m.nv
+  nefc = J.shape[1] if big is not None else J.shape[0]
   iterations = int(m.opt.iterations)
   ls_iterations = int(m.opt.ls_iterations)
   has_eq = w_eq is not None
@@ -159,11 +242,25 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
     def mat_vec_M(v):  # (nv, W) -> (nv, W)
       return jnp.sum(M * v[None, :, :], axis=1)
 
-    def J_vec(v):  # (nv, W) -> (nefc, W)
-      return jnp.sum(J * v[None, :, :], axis=1)
+    if big is None:
+      def J_vec(v):  # (nv, W) -> (nefc, W)
+        return jnp.sum(J * v[None, :, :], axis=1)
 
-    def JT_vec(f):  # (nefc, W) -> (nv, W)
-      return jnp.sum(J * f[:, None, :], axis=0)
+      def JT_vec(f):  # (nefc, W) -> (nv, W)
+        return jnp.sum(J * f[:, None, :], axis=0)
+    else:
+      # (nv, nefc, W) layout: static unroll over dof rows keeps every op
+      # a full (nefc, W) tile (the contraction axis rides sublanes)
+      def J_vec(v):
+        acc = J[0] * v[0:1]
+        for i in range(1, nv):
+          acc = acc + J[i] * v[i:i + 1]
+        return acc
+
+      def JT_vec(f):
+        return jnp.concatenate(
+            [jnp.sum(J[i] * f, axis=0, keepdims=True) for i in range(nv)],
+            axis=0)
 
     def update_constraint(Jaref):
       act = (Jaref < 0.0).astype(dtype)
@@ -182,21 +279,44 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
       qfrc_c = JT_vec(force)
       grad = Ma - qfrc_smooth - qfrc_c
       Dq = D * quad  # (nefc, W)
-      # fold D into the i-row so no (nefc, nv, W) J·D copy is materialized
-      # (VMEM peak would double otherwise).  Only the lower triangle is
-      # computed — _chol_tile never reads above the diagonal — halving the
-      # dominant JᵀDAJ cost (reference tiles the full H, solver.py:1905).
-      Hrows = []
-      for i in range(nv):
-        low = jnp.sum((J[:, i, :] * Dq)[:, None, :] * J[:, :i + 1, :],
-                      axis=0)  # (i+1, W)
-        if i + 1 < nv:
-          low = jnp.concatenate(
-              [low, jnp.zeros((nv - i - 1, low.shape[-1]), dtype)], axis=0)
-        Hrows.append(M[i] + low)
-      H = jnp.stack(Hrows, axis=0)  # (nv, nv, W); upper = M only (unused)
-      L = _chol_tile(H, nv)
-      Mgrad = _chol_solve_tile(L, grad, nv)
+      if big is None:
+        # fold D into the i-row so no (nefc, nv, W) J·D copy is
+        # materialized (VMEM peak would double otherwise).  Only the lower
+        # triangle is computed — _chol_tile never reads above the diagonal
+        # — halving the dominant JᵀDAJ cost (reference tiles the full H,
+        # solver.py:1905).
+        Hrows = []
+        for i in range(nv):
+          low = jnp.sum((J[:, i, :] * Dq)[:, None, :] * J[:, :i + 1, :],
+                        axis=0)  # (i+1, W)
+          if i + 1 < nv:
+            low = jnp.concatenate(
+                [low, jnp.zeros((nv - i - 1, low.shape[-1]), dtype)],
+                axis=0)
+          Hrows.append(M[i] + low)
+        H = jnp.stack(Hrows, axis=0)  # (nv, nv, W); upper = M (unused)
+        L = _chol_tile(H, nv)
+        Mgrad = _chol_solve_tile(L, grad, nv)
+        return grad, Mgrad
+
+      # loop form: H rows via dynamic reads of the J input ref
+      J_ref, H_scr, LT_scr, LR_scr = (big['J_ref'], big['H'], big['LT'],
+                                      big['LR'])
+
+      def hrow(i, _):
+        Ji = J_ref[pl.ds(i, 1)][0]  # (nefc, W)
+        JD = Ji * Dq
+        H_scr[pl.ds(i, 1)] = jnp.sum(J * JD[None], axis=1)[None]
+        return 0
+
+      jax.lax.fori_loop(0, nv, hrow, 0)
+      H_scr[:] = H_scr[:] + M
+      _chol_big(H_scr, LT_scr, nv, dtype)
+      LTv = LT_scr[:]
+      # static-unrolled transpose: LR[i] = row i of L for the backward
+      # substitution's dynamic row reads
+      LR_scr[:] = jnp.stack([LTv[j] for j in range(nv)], axis=1)
+      Mgrad = _chol_solve_big(LT_scr, LR_scr, grad, nv)
       return grad, Mgrad
 
     def linesearch(Ma, Jaref, search):
@@ -428,14 +548,15 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
 
 
 def _make_kernel(m: types.Model, dtype):
-  nefc = m.nefc
+  nefc, nv = m.nefc, m.nv
   is_eq, is_fri = _masks(m)
   eq_any, fri_any = bool(is_eq.any()), bool(is_fri.any())
+  use_big = _use_big(m)
 
   def kernel(J_ref, D_ref, aref_ref, fl_ref, M_ref, qfrc_smooth_ref,
              qacc0_ref, w_eq_ref, w_fri_ref, tol_ref, ls_tol_ref,
              meaninertia_ref, qacc_out, force_out, qfrc_c_out,
-             niter_out, scr_ref):
+             niter_out, scr_ref, *big_scr):
     def _launder(x, row):
       # normalize the Mosaic layout of a (1, W) per-world scalar by
       # round-tripping through VMEM scratch: reduction results carry
@@ -444,17 +565,26 @@ def _make_kernel(m: types.Model, dtype):
       scr_ref[row:row + 1, :] = x
       return scr_ref[row:row + 1, :]
 
-    J = J_ref[:]          # (nefc, nv, W)
+    J = J_ref[:]  # small: (nefc, nv, W); big: (nv, nefc, W)
+    big = None
+    if use_big:
+      big = dict(J_ref=J_ref, H=big_scr[0], LT=big_scr[1], LR=big_scr[2])
     qacc_f, force_f, niter_f = solve_core(
         m, dtype, J, D_ref[:], aref_ref[:], fl_ref[:], M_ref[:],
         qfrc_smooth_ref[:], qacc0_ref[:],
         w_eq_ref[:] if eq_any else None,
         w_fri_ref[:] if fri_any else None,
-        tol_ref[0, 0], ls_tol_ref[0, 0], meaninertia_ref[0, 0], _launder)
+        tol_ref[0, 0], ls_tol_ref[0, 0], meaninertia_ref[0, 0], _launder,
+        big=big)
 
     qacc_out[:] = qacc_f
     force_out[:] = force_f
-    qfrc_c_out[:] = jnp.sum(J * force_f[:, None, :], axis=0)
+    if use_big:
+      qfrc_c_out[:] = jnp.concatenate(
+          [jnp.sum(J[i] * force_f, axis=0, keepdims=True)
+           for i in range(nv)], axis=0)
+    else:
+      qfrc_c_out[:] = jnp.sum(J * force_f[:, None, :], axis=0)
     niter_out[:] = niter_f.astype(jnp.int32)
 
   return kernel
@@ -479,11 +609,16 @@ def _solve_tiles(m: types.Model, J, D, aref, fl, M, qfrc_smooth, qacc0,
   w_eq = jnp.asarray(is_eq.astype(np.float32), dtype)[:, None]
   w_fri = jnp.asarray(is_fri.astype(np.float32), dtype)[:, None]
   kernel = _make_kernel(m, dtype)
+  scratch = [pltpu.VMEM((8, TILE_W), dtype)]
+  j_spec = bw(nefc, nv)
+  if _use_big(m):
+    j_spec = bw(nv, nefc)
+    scratch += [pltpu.VMEM((nv, nv, TILE_W), dtype) for _ in range(3)]
   qacc, force, qfrc_c, niter = pl.pallas_call(
       kernel,
       grid=(W // TILE_W,),
       in_specs=[
-          bw(nefc, nv), bw(nefc), bw(nefc), bw(nefc), bw(nv, nv), bw(nv),
+          j_spec, bw(nefc), bw(nefc), bw(nefc), bw(nv, nv), bw(nv),
           bw(nv), mask_spec, mask_spec, smem, smem, smem,
       ],
       out_specs=[bw(nv), bw(nefc), bw(nv), bw(1)],
@@ -493,7 +628,7 @@ def _solve_tiles(m: types.Model, J, D, aref, fl, M, qfrc_smooth, qacc0,
           jax.ShapeDtypeStruct((nv, W), dtype),
           jax.ShapeDtypeStruct((1, W), jnp.int32),
       ],
-      scratch_shapes=[pltpu.VMEM((8, TILE_W), dtype)],
+      scratch_shapes=scratch,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
@@ -506,7 +641,10 @@ def solve_batched(m: types.Model, d: types.Data,
                   interpret: bool = False) -> types.Data:
   """Batched Newton solve via the world-tile megakernel."""
   dtype = d.qpos.dtype
-  J = jnp.moveaxis(d.efc_J, 0, -1)  # (nefc, nv, W)
+  if _use_big(m):
+    J = jnp.transpose(d.efc_J, (2, 1, 0))  # (nv, nefc, W)
+  else:
+    J = jnp.moveaxis(d.efc_J, 0, -1)  # (nefc, nv, W)
   D = d.efc_D.T
   aref = d.efc_aref.T
   fl = d.efc_frictionloss.T

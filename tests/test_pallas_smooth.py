@@ -11,7 +11,11 @@ from mujoco_warp_tpu.pallas import smooth as psmooth
 from tests.oracle import assert_close
 
 
-def test_mass_chain_vs_jnp():
+@pytest.mark.parametrize('big', [False, True])
+def test_mass_chain_vs_jnp(big, monkeypatch):
+  if big:
+    # force the vectorized-qM / XLA-Cholesky variant on a small scene
+    monkeypatch.setattr(psmooth, '_big_tree', lambda m: True)
   mjm, mjd, m, d = models.fixture('spheres.xml', qvel_noise=0.5, nstep=20)
   W = psmooth.TILE_W
   db = jax.tree.map(lambda x: jnp.broadcast_to(x, (W,) + x.shape), d)

@@ -41,6 +41,34 @@ def test_pallas_vs_jnp(fname, kw):
                'qfrc_constraint', atol=5e-2, rtol=5e-2)
 
 
+def test_pallas_big_path(monkeypatch):
+  """Loop-form (fori over scratch) kernels vs the jnp solver.
+
+  The big path normally engages beyond nefc*nv ~ 12k (compile scale);
+  forcing the threshold down exercises the same code on a small scene in
+  interpret mode."""
+  monkeypatch.setattr(psolver, '_UNROLL_LIMIT', 1)
+  mjm, mjd, m, d = models.fixture('spheres.xml', qvel_noise=0.5, nstep=20)
+  assert psolver._use_big(m)
+  W = psolver.TILE_W
+  db = jax.tree.map(lambda x: jnp.broadcast_to(x, (W,) + x.shape), d)
+  rng = np.random.default_rng(0)
+  db = db.replace(
+      qvel=db.qvel + 0.02 * jnp.asarray(
+          rng.standard_normal((W, mjm.nv)).astype(np.float32)))
+
+  pre = jax.jit(jax.vmap(lambda x: fwd.fwd_acceleration(m, fwd.fwd_actuation(
+      m, fwd.fwd_velocity(m, fwd.fwd_position(m, x))))))
+  db = jax.block_until_ready(pre(db))
+
+  ref = jax.jit(jax.vmap(lambda x: solver.solve(m, x)))(db)
+  out = jax.jit(lambda dd: psolver.solve_batched(m, dd, interpret=True))(db)
+
+  assert_close(out.qacc, ref.qacc, 'qacc', atol=5e-3, rtol=5e-3)
+  assert_close(out.qfrc_constraint, ref.qfrc_constraint,
+               'qfrc_constraint', atol=5e-2, rtol=5e-2)
+
+
 def test_fused_gate_rejects_condim46():
   """condim 4/6 scenes must not take the fused path (its assembler
   builds condim-3 pyramid rows; regression for a silent-wrong-rows gap)."""

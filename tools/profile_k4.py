@@ -35,6 +35,28 @@ def main():
 
   timeit('sort_worlds (take on lanes)', fused.sort_worlds, st)
 
+  def sort_tr(s):
+    perm = jnp.argsort(s.solver_niter[0])
+    return jax.tree.map(lambda x: x.T[perm].T, s)
+
+  def sort_mm(s):
+    perm = jnp.argsort(s.solver_niter[0])
+    W = perm.shape[0]
+    P = (perm[None, :] == jnp.arange(W, dtype=jnp.int32)[:, None])
+    Pf = P.astype(jnp.float32)
+
+    def app(x):
+      if x.dtype == jnp.int32:
+        return jax.lax.dot(x.astype(jnp.float32), Pf,
+                           precision=jax.lax.Precision.HIGHEST
+                           ).astype(jnp.int32)
+      return jax.lax.dot(x, Pf, precision=jax.lax.Precision.HIGHEST)
+
+    return jax.tree.map(app, s)
+
+  timeit('sort via transpose-gather', sort_tr, st)
+  timeit('sort via one-hot matmul', sort_mm, st)
+
   k1 = jax.jit(lambda q, v: fused._k1_call(m, q, v))(st.qpos, st.qvel)
   qM, qLD, bias, cdof = k1[:4]
   c_dist, c_pos, c_frame, stcom = k1[4:]
@@ -59,13 +81,11 @@ def main():
            lambda *a: fused._k4_call(mm, damped, *a, con, scalars),
            qM, qLD, qfs, st.warmstart, st.qvel, st.qpos, cdof)
 
-  k4_with(int(m.opt.iterations), int(m.opt.ls_iterations),
-          'K4 full (it=default, ls=default)')
-  k4_with(1, 1, 'K4 it=1 ls=1 (assembly+1 solve)')
-  k4_with(2, 1, 'K4 it=2 ls=1')
-  k4_with(2, 4, 'K4 it=2 ls=4')
-  k4_with(2, 16, 'K4 it=2 ls=16')
-  k4_with(8, 8, 'K4 it=8 ls=8')
+  if os.environ.get('K4_VARIANTS', '0') != '0':
+    k4_with(int(m.opt.iterations), int(m.opt.ls_iterations),
+            'K4 full (it=default, ls=default)')
+    k4_with(1, 1, 'K4 it=1 ls=1 (assembly+1 solve)')
+    k4_with(2, 4, 'K4 it=2 ls=4')
 
 
 if __name__ == '__main__':

@@ -1,7 +1,8 @@
-"""Per-stage TPU timing of the batched general path (async-loop).
+"""Coarse per-phase TPU timing of the batched general path.
 
-SCENE env selects a benchmark registry entry (default three_humanoids).
-Stages mirror fwd.step's stage-split batched path.
+Times the same 5 phases fwd.step executes (pre / mass_chain / mid /
+solve / integrate) — few compiles, async-loop timing.  SCENE env selects
+a benchmark registry entry.
 """
 
 import os
@@ -17,11 +18,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 from benchmarks import BENCHMARKS  # noqa: E402
 
 from mujoco_warp_tpu import benchmarks as bh  # noqa: E402
-from mujoco_warp_tpu import types  # noqa: E402
 from mujoco_warp_tpu.ops import (collision_driver, constraint,  # noqa: E402
                                  forward as fwd, island, passive, sensor,
                                  smooth, solver)
-from mujoco_warp_tpu.ops import sleep as sleep_ops  # noqa: E402
 from mujoco_warp_tpu.pallas import linalg as plinalg  # noqa: E402
 from mujoco_warp_tpu.pallas import smooth as psmooth  # noqa: E402
 from mujoco_warp_tpu.pallas import solver as psolver  # noqa: E402
@@ -52,31 +51,47 @@ def main():
         f'ncon={m.ncon} nefc={m.nefc} '
         f'mass_chain={psmooth.supported(m, d)} '
         f'psolver={psolver.supported(m, d)}', flush=True)
-  v = lambda f: (lambda dd: jax.vmap(lambda x: f(m, x))(dd))
 
-  d = timeit('kinematics', v(smooth.kinematics), d)
-  d = timeit('com_pos', v(smooth.com_pos), d)
-  d = timeit('tendon', v(smooth.tendon), d)
-  if psmooth.supported(m, d):
-    d = timeit('mass_chain (pallas)', lambda dd: psmooth.mass_chain(m, dd),
-               d)
-  else:
-    d = timeit('crb+factor+com_vel+rne',
-               v(lambda mm, x: smooth.rne(mm, smooth.com_vel(
-                   mm, smooth.factor_m(mm, smooth.crb(mm, x))))), d)
-  d = timeit('collision', v(collision_driver.collision), d)
-  d = timeit('make_constraint', v(constraint.make_constraint), d)
-  d = timeit('island', v(island.island), d)
-  d = timeit('transmission', v(smooth.transmission), d)
-  d = timeit('passive', v(passive.passive), d)
-  d = timeit('fwd_actuation', v(fwd.fwd_actuation), d)
-  d = timeit('fwd_smooth_force', v(fwd.fwd_smooth_force), d)
-  if plinalg.supported(m, d):
-    d = timeit('qacc_smooth (plinalg)', lambda dd: dd.replace(
-        qacc_smooth=plinalg.chol_solve_batched(m, dd.qLD,
-                                               dd.qfrc_smooth)), d)
+  def pre(dd):
+    def one(x):
+      x = smooth.kinematics(m, x)
+      x = smooth.com_pos(m, x)
+      x = smooth.camlight(m, x)
+      x = smooth.tendon(m, x)
+      return x
+    return jax.vmap(one)(dd)
+
+  def mid(dd):
+    def one(x):
+      if m.opt.run_collision_detection:
+        x = collision_driver.collision(m, x)
+      x = constraint.make_constraint(m, x)
+      x = island.island(m, x)
+      x = smooth.transmission(m, x)
+      x = sensor.sensor_pos(m, x)
+      x = sensor.energy_pos(m, x)
+      av = x.actuator_moment @ x.qvel if m.nu else x.actuator_velocity
+      x = x.replace(actuator_velocity=av)
+      x = passive.passive(m, x)
+      x = sensor.sensor_vel(m, x)
+      x = sensor.energy_vel(m, x)
+      x = fwd.fwd_actuation(m, x)
+      x = fwd.fwd_smooth_force(m, x)
+      return x
+    return jax.vmap(one)(dd)
+
+  def qaccs(dd):
+    return dd.replace(qacc_smooth=plinalg.chol_solve_batched(
+        m, dd.qLD, dd.qfrc_smooth))
+
+  d = timeit('pre (kin/com/tendon)', pre, d)
+  d = timeit('mass_chain (pallas)', lambda dd: psmooth.mass_chain(m, dd),
+             d)
+  d = timeit('mid (col/efc/act)', mid, d)
+  d = timeit('qacc_smooth', qaccs, d)
   d = timeit('solve_batched', lambda dd: solver.solve_batched(m, dd), d)
-  d = timeit('euler', v(fwd.euler), d)
+  d = timeit('euler', lambda dd: jax.vmap(
+      lambda x: fwd.euler(m, x))(dd), d)
   timeit('FULL step', lambda dd: fwd.step(m, dd), d)
 
 
