@@ -290,10 +290,11 @@ def mass_chain(m: types.Model, d: types.Data,
   if big:
     qM, cvel, cdof_dot, bias = outs
     qM_w = jnp.moveaxis(qM, -1, 0).reshape(W, nv, nv)
-    # factor with XLA's batched (MXU) Cholesky — the in-kernel unrolled
-    # factorization is a compile bomb at this nv
-    qLD_w = jax.scipy.linalg.cholesky(
-        qM_w + jnp.eye(nv, dtype=dtype) * 1e-12, lower=True)
+    # factor with the lane-parallel loop-form Cholesky — the in-kernel
+    # unrolled factorization is a compile bomb at this nv, and XLA's
+    # batched Cholesky measures ~78 ms at (8192, 81, 81) on v5e
+    from mujoco_warp_tpu.pallas import linalg as plinalg
+    qLD_w = plinalg.chol_batched(m, qM_w, jitter=1e-12)
   else:
     qM, qLD, cvel, cdof_dot, bias = outs
     qM_w = jnp.moveaxis(qM, -1, 0).reshape(W, nv, nv)
