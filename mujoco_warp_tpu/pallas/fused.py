@@ -1053,6 +1053,9 @@ def _make_k4(m: types.Model, dtype, damped: bool):
       return scr_ref[row:row + 1, :]
 
     J_rows, D_rows, aref_rows = [], [], []
+    diag_rows = []  # one-hot limit rows: (dof, sign·active) — see
+    # solve_core's ``diag``: they only touch H's diagonal and J·v on one
+    # dof, so they skip the dense-row stack entirely
 
     # ---- joint limit rows (constraint.py:1990-2374, hinge/slide)
     for t in limits:
@@ -1069,7 +1072,7 @@ def _make_k4(m: types.Model, dtype, damped: bool):
                             refsafe)
       D = 1.0 / jnp.maximum(t['invw'] * (1.0 - imp) / imp, _MINVAL)
       aref = -k * imp * pos - b * vel
-      J_rows.append(_onehot_row(sign * active, t['dadr'], nv, W, dtype))
+      diag_rows.append((t['dadr'], sign * active))
       D_rows.append(D * active)
       aref_rows.append(aref * active)
 
@@ -1092,6 +1095,8 @@ def _make_k4(m: types.Model, dtype, damped: bool):
       ir = ir_ref[0, 0]
       ang = cdof3[:, 0:3, :]
       lin = cdof3[:, 3:6, :]
+      ang_c = [ang[:, k, :] for k in range(3)]  # (nv, W) each
+      lin_c = [lin[:, k, :] for k in range(3)]
       for s in range(ncon):
         dim = int(con_dim[s])
         d_s = dist[s:s + 1]
@@ -1102,24 +1107,41 @@ def _make_k4(m: types.Model, dtype, damped: bool):
         p_s = cpos[3 * s:3 * s + 3]
         m1 = mask1[s * nv:(s + 1) * nv]
         m2 = mask2[s * nv:(s + 1) * nv]
-        o1 = (p_s - com1[3 * s:3 * s + 3])[None]  # (1, 3, W)
-        o2 = (p_s - com2[3 * s:3 * s + 3])[None]
-        jac1 = (lin + _gcross(ang, jnp.broadcast_to(o1, ang.shape))) \
-            * m1[:, None, :]
-        jac2 = (lin + _gcross(ang, jnp.broadcast_to(o2, ang.shape))) \
-            * m2[:, None, :]
-        jacd = jac2 - jac1  # (nv, 3, W)
-        Jn = jnp.sum(jacd * fr[0:3][None], axis=1)
+        o1 = p_s - com1[3 * s:3 * s + 3]  # (3, W)
+        o2 = p_s - com2[3 * s:3 * s + 3]
+        dm = m2 - m1
+
+        def axis_row(t):
+          # J row for axis t via the triple product (jac·t with
+          # jac = lin + ang×o): (ang×o)·t = ang·(o×t), so the row is
+          # (m2−m1)(lin·t) + m2 ang·(o2×t) − m1 ang·(o1×t) — 9 (nv, W)
+          # FMAs instead of building masked (nv, 3, W) jacobians
+          lt = (lin_c[0] * t[0:1] + lin_c[1] * t[1:2] +
+                lin_c[2] * t[2:3])
+          u1 = _cross(o1, t)
+          u2 = _cross(o2, t)
+          au1 = (ang_c[0] * u1[0:1] + ang_c[1] * u1[1:2] +
+                 ang_c[2] * u1[2:3])
+          au2 = (ang_c[0] * u2[0:1] + ang_c[1] * u2[1:2] +
+                 ang_c[2] * u2[2:3])
+          return dm * lt + m2 * au2 - m1 * au1
+
+        Jn = axis_row(fr[0:3])
+        veln = jnp.sum(Jn * qvel, axis=0, keepdims=True)
         if dim == 1:
-          rows = [Jn]
+          rows = [(Jn, veln)]
           iw = invw[s:s + 1]
         else:
-          Jt1 = jnp.sum(jacd * fr[3:6][None], axis=1)
-          Jt2 = jnp.sum(jacd * fr[6:9][None], axis=1)
+          Jt1 = axis_row(fr[3:6])
+          Jt2 = axis_row(fr[6:9])
+          velt1 = jnp.sum(Jt1 * qvel, axis=0, keepdims=True)
+          velt2 = jnp.sum(Jt2 * qvel, axis=0, keepdims=True)
           f0 = fri[2 * s:2 * s + 1]
           f1 = fri[2 * s + 1:2 * s + 2]
-          rows = [Jn + f0 * Jt1, Jn - f0 * Jt1,
-                  Jn + f1 * Jt2, Jn - f1 * Jt2]
+          rows = [(Jn + f0 * Jt1, veln + f0 * velt1),
+                  (Jn - f0 * Jt1, veln - f0 * velt1),
+                  (Jn + f1 * Jt2, veln + f1 * velt2),
+                  (Jn - f1 * Jt2, veln - f1 * velt2)]
           iw0 = invw[s:s + 1]
           iw = (iw0 + f0 * f0 * iw0) * 2.0 * f0 * f0 * ir
         k, b, imp = _kbi_lane(
@@ -1128,22 +1150,21 @@ def _make_k4(m: types.Model, dtype, damped: bool):
             solimp[5 * s + 2:5 * s + 3], solimp[5 * s + 3:5 * s + 4],
             solimp[5 * s + 4:5 * s + 5], cp, h, refsafe)
         D = active / jnp.maximum(iw * (1.0 - imp) / imp, _MINVAL)
-        for r in rows:
-          r_act = r * active
-          vel = jnp.sum(r_act * qvel, axis=0, keepdims=True)
-          J_rows.append(r_act)
+        for r, vel in rows:
+          J_rows.append(r * active)
           D_rows.append(D)
           aref_rows.append((-k * imp * cp - b * vel) * active)
 
     # ---- Newton solve (pallas/solver.solve_core)
-    if J_rows:
-      J = jnp.stack(J_rows, axis=0)  # (nefc, nv, W)
+    if J_rows or diag_rows:
+      J = jnp.stack(J_rows, axis=0) if J_rows else None  # dense rows
       Dv = jnp.concatenate(D_rows, axis=0)
       aref = jnp.concatenate(aref_rows, axis=0)
-      fl = jnp.zeros((len(J_rows), W), dtype)
+      fl = jnp.zeros((len(D_rows), W), dtype)
       qacc, _, niter = psolver.solve_core(
           m, dtype, J, Dv, aref, fl, qM3, qfs, ws_ref[:], None, None,
-          tol_ref[0, 0], lstol_ref[0, 0], mi_ref[0, 0], _launder)
+          tol_ref[0, 0], lstol_ref[0, 0], mi_ref[0, 0], _launder,
+          diag=diag_rows)
     else:
       qacc = _chol_solve_tile(L3, qfs, nv)
       niter = jnp.zeros((1, W), dtype)

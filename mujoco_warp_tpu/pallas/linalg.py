@@ -60,7 +60,8 @@ def _stack_T(Lval, nv):
   return jnp.stack([Lval[j] for j in range(nv)], axis=1)
 
 
-def chol_batched(m: types.Model, A, jitter: float = 0.0):
+def chol_batched(m: types.Model, A, jitter: float = 0.0,
+                 interpret: bool = False):
   """L with L Lᵀ = A for batched SPD A (W, nv, nv) → (W, nv, nv)."""
   nv = m.nv
   dtype = A.dtype
@@ -95,11 +96,13 @@ def chol_batched(m: types.Model, A, jitter: float = 0.0):
       scratch_shapes=scratch,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=_VMEM_BUDGET),
+      interpret=interpret,
   )(At)
   return jnp.moveaxis(L, -1, 0).reshape(W, nv, nv)
 
 
-def chol_solve_batched(m: types.Model, qLD, rhs):
+def chol_solve_batched(m: types.Model, qLD, rhs,
+                       interpret: bool = False):
   """x = (L Lᵀ)⁻¹ rhs for batched (W, nv, nv) factor + (W, nv) rhs."""
   nv = m.nv
   dtype = rhs.dtype
@@ -129,11 +132,13 @@ def chol_solve_batched(m: types.Model, qLD, rhs):
       scratch_shapes=scratch,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=_VMEM_BUDGET),
+      interpret=interpret,
   )(L, b)
   return x.T
 
 
-def damped_solve_batched(m: types.Model, qM, damping, dt, qacc):
+def damped_solve_batched(m: types.Model, qM, damping, dt, qacc,
+                         interpret: bool = False):
   """(M + dt·diag(damping))⁻¹ (M qacc) for batched inputs."""
   nv = m.nv
   dtype = qacc.dtype
@@ -178,5 +183,6 @@ def damped_solve_batched(m: types.Model, qM, damping, dt, qacc):
       scratch_shapes=scratch,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=_VMEM_BUDGET),
+      interpret=interpret,
   )(Mt, a, dmp)
   return x.T

@@ -294,7 +294,8 @@ def mass_chain(m: types.Model, d: types.Data,
     # unrolled factorization is a compile bomb at this nv, and XLA's
     # batched Cholesky measures ~78 ms at (8192, 81, 81) on v5e
     from mujoco_warp_tpu.pallas import linalg as plinalg
-    qLD_w = plinalg.chol_batched(m, qM_w, jitter=1e-12)
+    qLD_w = plinalg.chol_batched(m, qM_w, jitter=1e-12,
+                                 interpret=interpret)
   else:
     qM, qLD, cvel, cdof_dot, bias = outs
     qM_w = jnp.moveaxis(qM, -1, 0).reshape(W, nv, nv)

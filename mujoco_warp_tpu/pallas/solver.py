@@ -202,7 +202,7 @@ def _chol_solve_big(LT_scr, LR_scr, b, nv):
 
 def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
                qacc_in, w_eq, w_fri, tol, ls_tol, meaninertia, launder,
-               big=None):
+               big=None, diag=None):
   """Newton solve on one world tile, lanes-last (reference solver.py:3715).
 
   Pure function over VMEM values so both the standalone solver kernel and
@@ -219,9 +219,24 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
   (nv, nefc, W) value and ``big`` a dict with ``J_ref`` (the matching
   input ref, for dynamic row reads) and scratch refs ``H``/``LT``/``LR``
   each (nv, nv, W).
+
+  ``diag`` declares the FIRST ``len(diag)`` efc rows as one-hot: row r is
+  s_r·e_{dof_r} with static ``dof_r`` and dynamic sign ``s_r`` (1, W) —
+  the form of joint-limit rows.  J then holds only the remaining dense
+  rows (or None), while D/aref/fl stay full.  One-hot rows touch H only
+  on the diagonal and J·v on one dof, so declaring them cuts the
+  per-slot assembly and the O(nefc·nv²) H work to the dense rows alone.
+  Not supported together with ``big``.
   """
   nv = m.nv
-  nefc = J.shape[1] if big is not None else J.shape[0]
+  nl = len(diag) if diag else 0
+  if nl:
+    assert big is None, 'diag rows not supported with the big layout'
+  if J is None:
+    ncr = 0
+  else:
+    ncr = J.shape[1] if big is not None else J.shape[0]
+  nefc = nl + ncr
   iterations = int(m.opt.iterations)
   ls_iterations = int(m.opt.ls_iterations)
   has_eq = w_eq is not None
@@ -238,16 +253,41 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
       w_ql = None  # all rows quadratic-like; weights fold away
     rescale = 1.0 / (meaninertia * float(nv))
     rf = fl / jnp.maximum(D, _MINVAL) if has_fri else None
+    diag_by_dof = {}
+    for r, (dof, _) in enumerate(diag or ()):
+      diag_by_dof.setdefault(dof, []).append(r)
 
     def mat_vec_M(v):  # (nv, W) -> (nv, W)
       return jnp.sum(M * v[None, :, :], axis=1)
 
     if big is None:
       def J_vec(v):  # (nv, W) -> (nefc, W)
-        return jnp.sum(J * v[None, :, :], axis=1)
+        parts = [s * v[dof:dof + 1] for dof, s in (diag or ())]
+        if ncr:
+          parts.append(jnp.sum(J * v[None, :, :], axis=1))
+        return (jnp.concatenate(parts, axis=0) if len(parts) > 1
+                else parts[0])
 
       def JT_vec(f):  # (nefc, W) -> (nv, W)
-        return jnp.sum(J * f[:, None, :], axis=0)
+        if ncr:
+          fc = f[nl:] if nl else f
+          dense = jnp.sum(J * fc[:, None, :], axis=0)
+        else:
+          dense = jnp.zeros((nv, f.shape[-1]), dtype)
+        if nl:
+          zrow = jnp.zeros((1, f.shape[-1]), dtype)
+          corr = []
+          for d in range(nv):
+            rs = diag_by_dof.get(d)
+            if not rs:
+              corr.append(zrow)
+            else:
+              acc = diag[rs[0]][1] * f[rs[0]:rs[0] + 1]
+              for r in rs[1:]:
+                acc = acc + diag[r][1] * f[r:r + 1]
+              corr.append(acc)
+          dense = dense + jnp.concatenate(corr, axis=0)
+        return dense
     else:
       # (nv, nefc, W) layout: static unroll over dof rows keeps every op
       # a full (nefc, W) tile (the contraction axis rides sublanes)
@@ -284,11 +324,25 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
         # materialized (VMEM peak would double otherwise).  Only the lower
         # triangle is computed — _chol_tile never reads above the diagonal
         # — halving the dominant JᵀDAJ cost (reference tiles the full H,
-        # solver.py:1905).
+        # solver.py:1905).  One-hot diag rows land on H's diagonal only.
+        Dqc = Dq[nl:] if nl else Dq
+        W = Dq.shape[-1]
         Hrows = []
         for i in range(nv):
-          low = jnp.sum((J[:, i, :] * Dq)[:, None, :] * J[:, :i + 1, :],
-                        axis=0)  # (i+1, W)
+          if ncr:
+            low = jnp.sum((J[:, i, :] * Dqc)[:, None, :] * J[:, :i + 1, :],
+                          axis=0)  # (i+1, W)
+          else:
+            low = jnp.zeros((i + 1, W), dtype)
+          rs = diag_by_dof.get(i)
+          if rs:
+            add = diag[rs[0]][1] ** 2 * Dq[rs[0]:rs[0] + 1]
+            for r in rs[1:]:
+              add = add + diag[r][1] ** 2 * Dq[r:r + 1]
+            if i:
+              low = jnp.concatenate([low[:i], low[i:i + 1] + add], axis=0)
+            else:
+              low = low + add
           if i + 1 < nv:
             low = jnp.concatenate(
                 [low, jnp.zeros((nv - i - 1, low.shape[-1]), dtype)],

@@ -82,10 +82,36 @@ def main():
            qM, qLD, qfs, st.warmstart, st.qvel, st.qpos, cdof)
 
   if os.environ.get('K4_VARIANTS', '0') != '0':
+    print('K1 timing:', flush=True)
+    timeit('K1', lambda q, v: fused._k1_call(m, q, v), st.qpos, st.qvel)
+    timeit('compact_xla', lambda *a: fused._compact_xla(m, *a, dtype),
+           c_dist, c_pos, c_frame, stcom)
+    timeit('middle', lambda *a: fused._middle(m, *a, dtype),
+           bias, st.qpos, st.qvel, st.ctrl)
     k4_with(int(m.opt.iterations), int(m.opt.ls_iterations),
             'K4 full (it=default, ls=default)')
+    k4_with(0, 0, 'K4 it=0 (assembly + solve init)')
     k4_with(1, 1, 'K4 it=1 ls=1 (assembly+1 solve)')
     k4_with(2, 4, 'K4 it=2 ls=4')
+    # no contact rows (limits only)
+    mm = m.replace(opt=m.opt.replace(iterations=0, ls_iterations=0,
+                                     run_collision_detection=False))
+    timeit('K4 it=0 no-contacts',
+           lambda *a: fused._k4_call(mm, damped, *a, con, scalars),
+           qM, qLD, qfs, st.warmstart, st.qvel, st.qpos, cdof)
+    mm = m.replace(opt=m.opt.replace(iterations=0, ls_iterations=0))
+    timeit('K4 it=0 undamped',
+           lambda *a: fused._k4_call(mm, False, *a, con, scalars),
+           qM, qLD, qfs, st.warmstart, st.qvel, st.qpos, cdof)
+    # no limits either: pure solve-init + integrate
+    orig_lt = fused._limit_tables
+    fused._limit_tables = lambda m_: []
+    mm = m.replace(opt=m.opt.replace(iterations=0, ls_iterations=0,
+                                     run_collision_detection=False))
+    timeit('K4 it=0 no-con no-lim',
+           lambda *a: fused._k4_call(mm, damped, *a, con, scalars),
+           qM, qLD, qfs, st.warmstart, st.qvel, st.qpos, cdof)
+    fused._limit_tables = orig_lt
 
 
 if __name__ == '__main__':
