@@ -286,8 +286,55 @@ def _con_classes(con_dim: np.ndarray, nconmax) -> Tuple:
   return tuple(classes)
 
 
+def _default_nconmax(mjm: mujoco.MjModel) -> int:
+  """Auto per-world active-contact budget (reference io.py:1316
+  `_default_nconmax`): a scene-statistics heuristic, rounded up to the
+  reference's valid-size ladder 16, 24, 32, 48, 64, 96, ..."""
+  valid = (2 + (np.arange(19) % 2)) * (2 ** (np.arange(19) // 2 + 3))
+  has_sdf = bool((mjm.geom_type == int(types.GeomType.SDF)).any())
+  has_flex = mjm.nflex > 0
+  guess = max(mjm.nv * 0.35 * (mjm.nhfield > 0) * 10 + 45,
+              256 * has_flex, 64 * has_sdf)
+  if guess > valid[-1]:
+    return int(guess)
+  return int(valid[np.searchsorted(valid, guess)])
+
+
+def _bp_groups(pairs, con_classes, con_compact,
+               bp_cap: Optional[int]) -> Tuple:
+  """Per-group broadphase pair budgets (bp_cap, condim).
+
+  A group is pruned (bp_cap > 0) when its narrowphase can be capped:
+  the prefilter packs active pairs into bp_cap slots and the collider
+  runs only on those (the TPU counterpart of the reference's
+  sap_broadphase, collision_driver.py:567).  Hfield/SDF groups keep
+  dense narrowphase (their colliders close over static per-pair data).
+  """
+  class_cap = {dim: cap for dim, cap, _, _ in con_classes}
+  out = []
+  for (t1, t2, idx, slot) in pairs.groups:
+    n = len(idx)
+    dim = int(pairs.con_dim[idx[0]]) if n else 3
+    key = (int(t1), int(t2))
+    prunable = (con_compact and n > 0 and
+                key[0] != int(types.GeomType.HFIELD) and
+                int(types.GeomType.SDF) not in key)
+    if bp_cap is not None:
+      # explicit cap: trust the caller, prune whenever it bites
+      bc = max(1, int(bp_cap))
+      if not prunable or bc >= n:
+        bc = 0
+    else:
+      bc = min(n, max(16, class_cap.get(dim, n)))
+      if not prunable or n <= 2 * bc:
+        bc = 0  # pruning would not shrink the group meaningfully
+    out.append((bc, dim))
+  return tuple(out)
+
+
 def put_model(mjm: mujoco.MjModel, dtype=np.float32,
               nconmax: Optional[int] = None,
+              bp_cap: Optional[int] = None,
               sdf_plugins: Optional[dict] = None) -> types.Model:
   """Convert a mujoco.MjModel into a device Model (reference: io.py:287).
 
@@ -340,6 +387,11 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
   pairs = collision_driver.collision_pairs(mjm)
   ncand = len(pairs.con_pair)
   cand_dim = pairs.con_dim[pairs.con_pair] if ncand else np.zeros(0, np.int32)
+  # capacity analysis: scenes too big for lossless per-candidate slots
+  # get the reference's nconmax heuristic automatically (io.py:1316);
+  # small scenes keep the lossless identity layout
+  if nconmax is None and ncand > 512:
+    nconmax = _default_nconmax(mjm)
   # compaction classes: active candidates pack into capped per-condim slots
   con_classes = ()
   con_compact = False
@@ -356,6 +408,7 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
       con_classes = ()
       ncon = ncand
       slot_dim = cand_dim
+  bp_groups = _bp_groups(pairs, con_classes, con_compact, bp_cap)
   ne, nf, nl, nefc, con_efc_adr, efc_layout = _efc_layout(
       mjm, slot_dim, int(mjm.opt.cone))
 
@@ -592,6 +645,7 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
       con_pair=pairs.con_pair,
       con_efc_address=con_efc_adr,
       pair_groups=pairs.groups,
+      bp_groups=bp_groups,
       pair_explicit=pairs.pair_explicit,
       pair_dim=pairs.con_dim,
       pair_margin=_jnp(pairs.pair_margin, dtype),

@@ -302,10 +302,6 @@ def make_convex_collider(t1: int, t2: int):
   k = convex_ncon(t1, t2)
 
   def collider(m, d, g1, g2):
-    pos1, mat1, size1 = d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1]
-    pos2, mat2, size2 = d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2]
-    margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
-    inflate = (0.5 * margin)[:, None]
     mesh1 = None
     mesh2 = None
     if t1 == _GT.MESH:
@@ -314,6 +310,47 @@ def make_convex_collider(t1: int, t2: int):
     if t2 == _GT.MESH:
       v, msk = padded_mesh_verts(m, g2)
       mesh2 = (jnp.asarray(v), msk)
+    return _collide(m, d, t1, t2, k, g1, g2, mesh1, mesh2)
+
+  return collider
+
+
+def make_convex_group_collider(t1: int, t2: int, g1s, g2s):
+  """make_convex_collider bound to a static pair list, callable with
+  TRACED local pair indices ``sel`` — the broadphase-pruned narrowphase
+  entry (reference: sap_broadphase feeds dynamic pairs to narrowphase
+  kernels, collision_driver.py:567).  Mesh vertex tables are built once
+  for the unique geoms of the group and gathered per selected pair."""
+  import numpy as np
+  k = convex_ncon(t1, t2)
+  g1s = np.asarray(g1s, np.int32)
+  g2s = np.asarray(g2s, np.int32)
+
+  def collider(m, d, sel):
+    g1 = jnp.asarray(g1s)[sel]
+    g2 = jnp.asarray(g2s)[sel]
+    mesh1 = None
+    mesh2 = None
+    if t1 == _GT.MESH:
+      uniq, loc = np.unique(g1s, return_inverse=True)
+      v, msk = padded_mesh_verts(m, uniq)
+      rows = jnp.asarray(loc.astype(np.int32))[sel]
+      mesh1 = (jnp.asarray(v)[rows], jnp.asarray(msk)[rows])
+    if t2 == _GT.MESH:
+      uniq, loc = np.unique(g2s, return_inverse=True)
+      v, msk = padded_mesh_verts(m, uniq)
+      rows = jnp.asarray(loc.astype(np.int32))[sel]
+      mesh2 = (jnp.asarray(v)[rows], jnp.asarray(msk)[rows])
+    return _collide(m, d, t1, t2, k, g1, g2, mesh1, mesh2)
+
+  return collider
+
+
+def _collide(m, d, t1, t2, k, g1, g2, mesh1, mesh2):
+    pos1, mat1, size1 = d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1]
+    pos2, mat2, size2 = d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2]
+    margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
+    inflate = (0.5 * margin)[:, None]
     hit, depth, normal, point = mpr(
         t1, t2, pos1, mat1, size1, pos2, mat2, size2, inflate, mesh1,
         mesh2)
@@ -339,5 +376,3 @@ def make_convex_collider(t1: int, t2: int):
     pos4 = jnp.stack(points)           # (4, n, 3)
     nrm4 = jnp.broadcast_to(normal[None], pos4.shape)
     return dist4, pos4, nrm4
-
-  return collider

@@ -165,8 +165,10 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
       else:
         con_dim[i] = max(ge_condim[a], ge_condim[b])
 
-  # sort pairs grouped by type pair so contact slots are contiguous per group
-  order = sorted(range(len(g1c)), key=lambda i: keys[i])
+  # sort pairs grouped by (type pair, condim) so contact slots are
+  # contiguous per group AND every group is condim-homogeneous — the
+  # broadphase-pruned compaction classes then keep static slot ranges
+  order = sorted(range(len(g1c)), key=lambda i: (keys[i], int(con_dim[i])))
   g1 = np.asarray([g1c[i] for i in order], np.int32).reshape(-1)
   g2 = np.asarray([g2c[i] for i in order], np.int32).reshape(-1)
   con_dim = con_dim[order] if len(order) else con_dim
@@ -179,7 +181,7 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
   i = 0
   while i < len(keys):
     j = i
-    while j < len(keys) and keys[j] == keys[i]:
+    while j < len(keys) and keys[j] == keys[i] and con_dim[j] == con_dim[i]:
       j += 1
     if keys[i][0] == types.GeomType.HFIELD:
       k = collision_hfield.HFIELD_NCON[types.GeomType(keys[i][1])]
@@ -279,6 +281,164 @@ def _mix_params(m: types.Model, g1: np.ndarray, g2: np.ndarray,
   return solref, solreffriction, solimp, margin, gap, friction
 
 
+def group_ncon(t1, t2) -> int:
+  """Static contact points per pair for a (t1, t2) collider group."""
+  from mujoco_warp_tpu.ops import collision_convex, collision_hfield
+  key = (int(t1), int(t2))
+  if key[0] == types.GeomType.HFIELD:
+    return collision_hfield.HFIELD_NCON[types.GeomType(key[1])]
+  if types.GeomType.SDF in key:
+    return 4
+  if key in collision_primitive.PAIR_NCON:
+    return collision_primitive.PAIR_NCON[key]
+  return collision_convex.convex_ncon(*key)
+
+
+def _group_sel_collider(m: types.Model, t1, t2, idx):
+  """Collider taking TRACED local pair indices, or None if the group's
+  narrowphase needs static ids (hfield prisms, SDF plugin closures)."""
+  from mujoco_warp_tpu.ops import collision_convex
+  key = (int(t1), int(t2))
+  if key[0] == types.GeomType.HFIELD or types.GeomType.SDF in key:
+    return None
+  g1s = m.pair_geom1[idx]
+  g2s = m.pair_geom2[idx]
+  if key == (int(types.GeomType.PLANE), int(types.GeomType.MESH)):
+    return collision_primitive.make_plane_mesh_group_collider(g1s, g2s)
+  fn = collision_primitive.COLLIDERS.get((t1, t2))
+  if fn is not None:
+    j1 = jnp.asarray(g1s)
+    j2 = jnp.asarray(g2s)
+    return lambda m_, d_, sel: fn(m_, d_, j1[sel], j2[sel])
+  return collision_convex.make_convex_group_collider(key[0], key[1], g1s,
+                                                     g2s)
+
+
+def _bp_pair_dist(m: types.Model, d: types.Data, t1, g1s, g2s):
+  """Conservative pair distance for the broadphase prefilter: bounding
+  spheres (plane: signed halfspace distance minus the other bound).
+
+  The device-side counterpart of the reference's runtime broadphase
+  (collision_driver.py:567 sap_broadphase / 789 nxn): instead of
+  sort-and-sweep into atomic append queues, every static candidate pair
+  gets a ~10-flop distance bound and actives are packed into the group's
+  capped narrowphase slots with a cumsum scatter (no sort)."""
+  g1 = jnp.asarray(g1s)
+  g2 = jnp.asarray(g2s)
+  p1 = d.geom_xpos[g1]
+  p2 = d.geom_xpos[g2]
+  rb = m.geom_rbound
+  if int(t1) == int(types.GeomType.PLANE):
+    n = d.geom_xmat[g1][:, :, 2]
+    return jnp.sum(n * (p2 - p1), axis=-1) - rb[g2]
+  return jnp.sqrt(jnp.maximum(
+      jnp.sum((p2 - p1) ** 2, axis=-1), 1e-12)) - rb[g1] - rb[g2]
+
+
+def _pack_actives(act, cap):
+  """Stable pack of active indices into ``cap`` slots (no sort).
+
+  act (n,) bool -> (sel (cap,) int32 local indices, nact ())."""
+  n = act.shape[0]
+  pos = jnp.cumsum(act.astype(jnp.int32)) - 1
+  dest = jnp.where(act, pos, cap)
+  sel = jnp.zeros((cap,), jnp.int32).at[dest].set(
+      jnp.arange(n, dtype=jnp.int32), mode='drop')
+  return sel, jnp.sum(act.astype(jnp.int32))
+
+
+def _pack_nearest(act, key, cap):
+  """Pack the ``cap`` smallest-key actives (deepest contacts win).
+
+  Under saturation, dropping by candidate order loses whichever
+  contacts happen to sort last (e.g. gripper-object contacts behind a
+  table's rest contacts); keeping the deepest mirrors what matters
+  physically.  act (n,) bool, key (n,) float -> (sel (cap,), nact)."""
+  k = jnp.where(act, key, _BIG)
+  _, sel = jax.lax.top_k(-k, cap)
+  return sel.astype(jnp.int32), jnp.sum(act.astype(jnp.int32))
+
+
+def _narrowphase_pruned(m: types.Model, d: types.Data, dtype):
+  """Two-stage narrowphase: prefilter + capped per-group pair budgets.
+
+  Groups with ``bp_cap > 0`` run their collider only on the packed
+  active pairs (k, bp_cap); others run dense.  Returns pruned-slot
+  arrays (dist, pos, frame, cand ids, valid) plus per-group
+  (condim, base, count) ranges in pruned-slot space and the overflow
+  flag for dropped pairs.
+  """
+  if m.nflexvert:
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=d.geom_xmat.dtype),
+                           (m.nflexvert, 3, 3))
+    d = d.replace(
+        geom_xpos=jnp.concatenate([d.geom_xpos, d.flexvert_xpos], axis=0),
+        geom_xmat=jnp.concatenate([d.geom_xmat, eye], axis=0))
+  from mujoco_warp_tpu.ops import collision_convex, collision_hfield
+  dist_l, pos_l, frame_l, cand_l, valid_l = [], [], [], [], []
+  ranges = []
+  over = jnp.zeros((), bool)
+  base = 0
+  im_cand = m.cand_includemargin
+  for gi, (t1, t2, idx, slot) in enumerate(m.pair_groups):
+    n = len(idx)
+    k = group_ncon(t1, t2)
+    bcap, dim = m.bp_groups[gi]
+    if bcap and bcap < n:
+      fn = _group_sel_collider(m, t1, t2, idx)
+      bd = _bp_pair_dist(m, d, t1, m.pair_geom1[idx], m.pair_geom2[idx])
+      im_pair = im_cand[jnp.asarray(slot + np.arange(n, dtype=np.int32))]
+      bact = bd < im_pair
+      sel, nact = _pack_nearest(bact, bd, bcap)
+      vpair = bact[sel]
+      over = over | (nact > bcap)
+      out = fn(m, d, sel)
+      dist, pos, normal = out[:3]
+      if len(out) == 4:
+        frame = out[3]
+      else:
+        frame = math.make_frame(normal.reshape(-1, 3)).reshape(k, bcap, 3,
+                                                               3)
+      dist = jnp.where(vpair[None], dist.astype(dtype), _BIG)
+      cand = (slot + jnp.arange(k, dtype=jnp.int32)[:, None] * n +
+              sel[None])  # (k, bcap)
+      dist_l.append(dist.reshape(-1))
+      pos_l.append(pos.reshape(-1, 3))
+      frame_l.append(frame.reshape(-1, 3, 3))
+      cand_l.append(cand.reshape(-1))
+      valid_l.append(jnp.broadcast_to(vpair[None], (k, bcap)).reshape(-1))
+      count = k * bcap
+    else:
+      fn = collision_primitive.COLLIDERS.get((t1, t2))
+      if fn is None:
+        if t1 == types.GeomType.HFIELD:
+          fn = collision_hfield.make_hfield_collider(int(t2))
+        elif types.GeomType.SDF in (t1, t2):
+          from mujoco_warp_tpu.ops import collision_sdf
+          fn = collision_sdf.make_sdf_group_collider(
+              m, int(t1), int(t2), m.pair_geom1[idx], m.pair_geom2[idx])
+        else:
+          fn = collision_convex.make_convex_collider(int(t1), int(t2))
+      out = fn(m, d, m.pair_geom1[idx], m.pair_geom2[idx])
+      dist, pos, normal = out[:3]
+      if len(out) == 4:
+        frame = out[3]
+      else:
+        frame = math.make_frame(normal.reshape(-1, 3)).reshape(
+            k, n, 3, 3)
+      dist_l.append(dist.astype(dtype).reshape(-1))
+      pos_l.append(pos.reshape(-1, 3))
+      frame_l.append(frame.reshape(-1, 3, 3))
+      cand_l.append(jnp.asarray(slot + np.arange(k * n, dtype=np.int32)))
+      valid_l.append(jnp.ones((k * n,), bool))
+      count = k * n
+    ranges.append((dim, base, count))
+    base += count
+  return (jnp.concatenate(dist_l), jnp.concatenate(pos_l, axis=0),
+          jnp.concatenate(frame_l, axis=0), jnp.concatenate(cand_l),
+          jnp.concatenate(valid_l), tuple(ranges), over)
+
+
 def _narrowphase_candidates(m: types.Model, d: types.Data):
   """dist/pos/frame over every candidate slot (static pair table)."""
   if m.nflexvert:
@@ -334,6 +494,10 @@ def collision(m: types.Model, d: types.Data) -> types.Data:
   if m.ncon == 0 or (m.opt.disableflags & types.DisableBit.CONTACT):
     return d
   dtype = d.qpos.dtype
+
+  if (m.con_compact and m.bp_groups and
+      any(bc for bc, _ in m.bp_groups)):
+    return _collision_pruned(m, d, dtype)
 
   dist, pos, frame = _narrowphase_candidates(m, d)
   dist = dist.astype(dtype)
@@ -395,6 +559,67 @@ def collision(m: types.Model, d: types.Data) -> types.Data:
       geom1=g1t[cp[sel]],
       geom2=g2t[cp[sel]],
       cand=jnp.where(valid, sel, -1),
+  )
+  overflow = d.overflow | jnp.where(over, types.OverflowType.CONTACT, 0)
+  return d.replace(contact=contact, ncon_active=ncon_active,
+                   overflow=overflow.astype(jnp.int32))
+
+
+def _collision_pruned(m: types.Model, d: types.Data, dtype) -> types.Data:
+  """Broadphase-pruned collision: prefilter -> capped narrowphase ->
+  per-condim compaction, all via stable cumsum packs (no sorts).
+
+  This is what makes mesh-manipulation scenes reachable: narrowphase
+  cost scales with the per-group pair budgets (``m.bp_groups``), not the
+  static candidate count (reference: sap_broadphase
+  collision_driver.py:567 + nconmax capacity analysis io.py:1316).
+  """
+  (dist_p, pos_p, frame_p, cand_p, valid_p, ranges,
+   over) = _narrowphase_pruned(m, d, dtype)
+  im_cand = m.cand_includemargin
+  act = valid_p & (dist_p < im_cand[cand_p])
+  sel_list, valid_list = [], []
+  ncon_active = jnp.zeros((), jnp.int32)
+  for dim, cap, _, _ in m.con_classes:
+    ids = np.concatenate(
+        [np.arange(b, b + c, dtype=np.int32)
+         for (dm, b, c) in ranges if dm == dim] or
+        [np.zeros(0, np.int32)])
+    ids_j = jnp.asarray(ids)
+    a = act[ids_j]
+    ncap = min(cap, len(ids))  # tight bp_cap can leave < cap slots
+    lsel, nact = _pack_nearest(a, dist_p[ids_j], ncap)
+    sel_c = ids_j[lsel]
+    val_c = a[lsel]
+    if ncap < cap:
+      sel_c = jnp.concatenate(
+          [sel_c, jnp.zeros((cap - ncap,), jnp.int32)])
+      val_c = jnp.concatenate([val_c, jnp.zeros((cap - ncap,), bool)])
+    sel_list.append(sel_c)
+    valid_list.append(val_c)
+    ncon_active = ncon_active + jnp.minimum(nact, cap)
+    over = over | (nact > cap)
+
+  sel = jnp.concatenate(sel_list)  # (ncon,) pruned-slot ids
+  valid = jnp.concatenate(valid_list)
+  vf = valid.astype(dtype)
+  cand = cand_p[sel]  # (ncon,) original candidate ids
+  cp = jnp.asarray(m.con_pair)
+  g1t = jnp.asarray(m.pair_geom1)
+  g2t = jnp.asarray(m.pair_geom2)
+
+  contact = d.contact.replace(
+      dist=jnp.where(valid, dist_p[sel], 1e10),
+      pos=pos_p[sel].astype(dtype),
+      frame=frame_p[sel].astype(dtype),
+      includemargin=im_cand[cand] * vf,
+      friction=m.cand_friction[cand],
+      solref=m.cand_solref[cand],
+      solreffriction=m.cand_solreffriction[cand],
+      solimp=m.cand_solimp[cand],
+      geom1=g1t[cp[cand]],
+      geom2=g2t[cp[cand]],
+      cand=jnp.where(valid, cand, -1),
   )
   overflow = d.overflow | jnp.where(over, types.OverflowType.CONTACT, 0)
   return d.replace(contact=contact, ncon_active=ncon_active,

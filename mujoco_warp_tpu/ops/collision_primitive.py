@@ -387,12 +387,35 @@ def plane_mesh(m, d, g1, g2):
   (collision_primitive_core); uses the mesh's static vertex table.
   """
   from mujoco_warp_tpu.ops import collision_convex
+  verts, vmask = collision_convex.padded_mesh_verts(m, g2)
+  return _plane_mesh_core(m, d, g1, g2, jnp.asarray(verts),
+                          jnp.asarray(vmask))
+
+
+def make_plane_mesh_group_collider(g1s, g2s):
+  """plane_mesh bound to a static pair list, callable with traced local
+  pair indices (broadphase-pruned narrowphase)."""
+  from mujoco_warp_tpu.ops import collision_convex
+  g1s = np.asarray(g1s, np.int32)
+  g2s = np.asarray(g2s, np.int32)
+
+  def collider(m, d, sel):
+    uniq, loc = np.unique(g2s, return_inverse=True)
+    verts, vmask = collision_convex.padded_mesh_verts(m, uniq)
+    rows = jnp.asarray(loc.astype(np.int32))[sel]
+    return _plane_mesh_core(m, d, jnp.asarray(g1s)[sel],
+                            jnp.asarray(g2s)[sel],
+                            jnp.asarray(verts)[rows],
+                            jnp.asarray(vmask)[rows])
+
+  return collider
+
+
+def _plane_mesh_core(m, d, g1, g2, verts, vmask):
   p_pos, p_mat, _ = _geom(m, d, g1)
   m_pos, m_mat, _ = _geom(m, d, g2)
   n = p_mat[:, :, 2]
-  verts, vmask = collision_convex.padded_mesh_verts(m, g2)
-  vw = m_pos[:, None, :] + jnp.einsum('nij,nvj->nvi', m_mat,
-                                      jnp.asarray(verts))
+  vw = m_pos[:, None, :] + jnp.einsum('nij,nvj->nvi', m_mat, verts)
   hgt = jnp.sum(n[:, None, :] * (vw - p_pos[:, None, :]), axis=-1)
   hgt = jnp.where(jnp.asarray(vmask), hgt, _BIG)
   neg_h, idx = jax.lax.top_k(-hgt, 4)

@@ -719,6 +719,11 @@ class Model:
   # narrowphase dispatch groups: tuple of
   # (geomtype1, geomtype2, pair_index_array, contact_slot_start)
   pair_groups: Tuple[Any, ...] = field(static=True, default=())
+  # broadphase pruning metadata, aligned with pair_groups: (bp_cap,
+  # condim) per group — bp_cap > 0 caps the group's narrowphase at that
+  # many prefilter-packed pairs (reference: sap_broadphase + nconmax
+  # capacity analysis, collision_driver.py:567 / io.py:1316)
+  bp_groups: Tuple[Any, ...] = field(static=True, default=())
   # per candidate pair: explicit <pair> id (into pair_* override tables) or -1
   pair_explicit: np.ndarray = field(static=True, default=None)
 
