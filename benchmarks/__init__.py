@@ -22,7 +22,7 @@ BENCHMARKS = {
     # flagship: the reference suite's own humanoid scene (27 DoF,
     # Newton+Euler, 8192 worlds) — apples-to-apples with BASELINE.md
     'humanoid': (os.path.join(_REF, 'humanoid/humanoid.xml'), 8192, 1000,
-                 (), {1: 8, 3: 16}),
+                 (), {1: 12, 3: 24}),
     # 81-DoF sparse crossover scene from the reference suite
     'three_humanoids': (os.path.join(_REF, 'humanoid/three_humanoids.xml'),
                         8192, 1000, (), {1: 50, 3: 50}),
@@ -48,4 +48,11 @@ BENCHMARKS = {
     # cloth: 81-vertex flex grid, edge equality + vertex-plane contacts
     # (reference cloth benchmark analog; CG solver, 243 DoF)
     'cloth': (os.path.join(_REPO, 'cloth.xml'), 32, 1000, (), None),
+    # mesh manipulation: the reference's aloha_pot test_data scene (204
+    # geoms, 134 meshes, 23 DoF, 30,658 candidate pairs) — rides the
+    # broadphase-pruned collision path; reference budget nconmax=24
+    # (benchmarks/aloha/__init__.py:21)
+    'aloha_pot': (os.path.join('/root/reference/mujoco_warp/test_data',
+                               'aloha_pot/scene.xml'), 8192, 100, (),
+                  None),
 }

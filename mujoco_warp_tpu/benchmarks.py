@@ -80,15 +80,16 @@ def load_humanoid_benchmark():
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-def build(mjm, nworld: int, seed: int = 0, nconmax={1: 8, 3: 16},
+def build(mjm, nworld: int, seed: int = 0, nconmax={1: 12, 3: 24},
           overrides=()):
   """Model + randomized batched Data.
 
-  ``nconmax`` defaults to per-condim budgets {1: 8, 3: 16} (24 total
-  slots, the reference humanoid budget, benchmarks/humanoid/__init__.py
-  nconmax=24).  Crumpled OU-noise states can exceed the 8 frictionless
-  self-collision slots in ~0.7%% of worlds — the same states overflow the
-  reference's shared 24-slot pool; both report it (overflow_worlds).
+  ``nconmax`` defaults to per-condim budgets {1: 12, 3: 24} (36 total
+  slots): measured as the smallest ladder rung where NO world overflows
+  over the 1000-step OU rollout (overflow_worlds=0), slightly above the
+  reference humanoid's shared 24-slot pool (benchmarks/humanoid/
+  __init__.py nconmax=24) because our slots are per-condim-class rather
+  than shared.
   """
   m = io.put_model(mjm, nconmax=nconmax)
   if overrides:

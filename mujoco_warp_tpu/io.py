@@ -310,6 +310,7 @@ def _bp_groups(pairs, con_classes, con_compact,
   sap_broadphase, collision_driver.py:567).  Hfield/SDF groups keep
   dense narrowphase (their colliders close over static per-pair data).
   """
+  from mujoco_warp_tpu.ops import collision_primitive
   class_cap = {dim: cap for dim, cap, _, _ in con_classes}
   out = []
   for (t1, t2, idx, slot) in pairs.groups:
@@ -319,6 +320,15 @@ def _bp_groups(pairs, con_classes, con_compact,
     prunable = (con_compact and n > 0 and
                 key[0] != int(types.GeomType.HFIELD) and
                 int(types.GeomType.SDF) not in key)
+    # auto policy: prune only groups whose narrowphase is expensive —
+    # convex MPR / mesh-vertex colliders — or enormous.  Cheap analytic
+    # primitive pairs (sphere/capsule/box) keep exact dense narrowphase:
+    # their cost is ~the prefilter's, and bounding-sphere bounds on
+    # capsule piles (three_humanoids crumples) are so loose the pack
+    # would drop real contacts and flag overflow constantly.
+    expensive = (key not in collision_primitive.PAIR_NCON or
+                 key == (int(types.GeomType.PLANE),
+                         int(types.GeomType.MESH)))
     if bp_cap is not None:
       # explicit cap: trust the caller, prune whenever it bites
       bc = max(1, int(bp_cap))
@@ -326,7 +336,7 @@ def _bp_groups(pairs, con_classes, con_compact,
         bc = 0
     else:
       bc = min(n, max(16, class_cap.get(dim, n)))
-      if not prunable or n <= 2 * bc:
+      if not prunable or not (expensive or n > 4096) or n <= 2 * bc:
         bc = 0  # pruning would not shrink the group meaningfully
     out.append((bc, dim))
   return tuple(out)
@@ -335,7 +345,8 @@ def _bp_groups(pairs, con_classes, con_compact,
 def put_model(mjm: mujoco.MjModel, dtype=np.float32,
               nconmax: Optional[int] = None,
               bp_cap: Optional[int] = None,
-              sdf_plugins: Optional[dict] = None) -> types.Model:
+              sdf_plugins: Optional[dict] = None,
+              callback: Optional[types.Callback] = None) -> types.Model:
   """Convert a mujoco.MjModel into a device Model (reference: io.py:287).
 
   ``nconmax``: optional per-world active-contact budget — an int (every
@@ -646,6 +657,7 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
       con_efc_address=con_efc_adr,
       pair_groups=pairs.groups,
       bp_groups=bp_groups,
+      callback=callback,
       pair_explicit=pairs.pair_explicit,
       pair_dim=pairs.con_dim,
       pair_margin=_jnp(pairs.pair_margin, dtype),

@@ -391,7 +391,14 @@ def _narrowphase_pruned(m: types.Model, d: types.Data, dtype):
       bact = bd < im_pair
       sel, nact = _pack_nearest(bact, bd, bcap)
       vpair = bact[sel]
-      over = over | (nact > bcap)
+      # overflow accounting: a dropped pair (farther than every kept
+      # one) can only produce a contact with dist < im if its BOUND is
+      # < im; for margin-0 pairs that means bound < 0 (penetrating
+      # bounding volumes).  Counting margin-band near-pairs here would
+      # flag resting mesh piles every step (bounding spheres overlap far
+      # more than surfaces do)
+      npen = jnp.sum((bd < jnp.minimum(im_pair, 0.0)).astype(jnp.int32))
+      over = over | (npen > bcap)
       out = fn(m, d, sel)
       dist, pos, normal = out[:3]
       if len(out) == 4:
@@ -497,7 +504,7 @@ def collision(m: types.Model, d: types.Data) -> types.Data:
 
   if (m.con_compact and m.bp_groups and
       any(bc for bc, _ in m.bp_groups)):
-    return _collision_pruned(m, d, dtype)
+    return _filter_cb(m, _collision_pruned(m, d, dtype))
 
   dist, pos, frame = _narrowphase_candidates(m, d)
   dist = dist.astype(dtype)
@@ -521,7 +528,8 @@ def collision(m: types.Model, d: types.Data) -> types.Data:
         solimp=solimp_c,
     )
     ncon_active = jnp.sum((dist < im_cand).astype(jnp.int32))
-    return d.replace(contact=contact, ncon_active=ncon_active)
+    return _filter_cb(m, d.replace(contact=contact,
+                                   ncon_active=ncon_active))
 
   # ---- compaction: per condim class, actives-first pack into cap slots
   sel_list, valid_list = [], []
@@ -561,8 +569,15 @@ def collision(m: types.Model, d: types.Data) -> types.Data:
       cand=jnp.where(valid, sel, -1),
   )
   overflow = d.overflow | jnp.where(over, types.OverflowType.CONTACT, 0)
-  return d.replace(contact=contact, ncon_active=ncon_active,
-                   overflow=overflow.astype(jnp.int32))
+  return _filter_cb(m, d.replace(contact=contact, ncon_active=ncon_active,
+                                 overflow=overflow.astype(jnp.int32)))
+
+
+def _filter_cb(m: types.Model, d: types.Data) -> types.Data:
+  """User contactfilter hook (reference: collision_driver.py:941)."""
+  if m.callback is not None and m.callback.contactfilter:
+    d = m.callback.contactfilter(m, d)
+  return d
 
 
 def _collision_pruned(m: types.Model, d: types.Data, dtype) -> types.Data:

@@ -435,6 +435,9 @@ def fwd_actuation(m: types.Model, d: types.Data) -> types.Data:
     scale = scale_lo * scale_hi
     force = jnp.where(jnp.asarray(is_ten), force * scale[tid], force)
 
+  if m.callback is not None:
+    act_dot, force = _apply_act_callbacks(m, d, act_dot, force)
+
   qfrc = d.actuator_moment.T @ force
 
   # gravcomp via actuators + per-joint actuator-force clamps (ref:1100-1135)
@@ -450,6 +453,21 @@ def fwd_actuation(m: types.Model, d: types.Data) -> types.Data:
 
   return d.replace(act_dot=act_dot, actuator_force=force,
                    qfrc_actuator=qfrc)
+
+
+def _apply_act_callbacks(m, d, act_dot, force):
+  """act_dyn/act_gain/act_bias user hooks (reference: forward.py:1200)."""
+  cb = m.callback
+  if cb.act_dyn:
+    act_dot = cb.act_dyn(m, d.replace(act_dot=act_dot)).act_dot
+  if cb.act_gain or cb.act_bias:
+    dtmp = d.replace(actuator_force=force)
+    if cb.act_gain:
+      dtmp = cb.act_gain(m, dtmp)
+    if cb.act_bias:
+      dtmp = cb.act_bias(m, dtmp)
+    force = dtmp.actuator_force
+  return act_dot, force
 
 
 def fwd_smooth_force(m: types.Model, d: types.Data) -> types.Data:
@@ -573,6 +591,9 @@ def _forward(m: types.Model, d: types.Data) -> types.Data:
   d = fwd_velocity(m, d)
   d = sensor.sensor_vel(m, d)
   d = sensor.energy_vel(m, d)
+  if (m.callback is not None and m.callback.control and
+      not (m.opt.disableflags & types.DisableBit.ACTUATION)):
+    d = m.callback.control(m, d)  # reference: forward.py:1358
   d = fwd_actuation(m, d)
   d = fwd_acceleration(m, d)
   d = solver.solve(m, d)
@@ -627,13 +648,20 @@ def step(m: types.Model, d: types.Data) -> types.Data:
     return jax.vmap(one)(d, *vals)
   if d.qpos.ndim != 2:
     return _step(m, d)
+  if sleep_ops.enabled(m) and d.qpos.shape[0] >= 256:
+    return _step_sleep_skip(m, d)
+  return _step_batched(m, d)
 
+
+def _step_batched(m: types.Model, d: types.Data,
+                  run_wake: bool = True) -> types.Data:
+  """Stage-split batched step (Pallas megakernels where supported)."""
   from mujoco_warp_tpu.pallas import smooth as psmooth
 
   use_mass_chain = psmooth.supported(m, d)
 
   def pre(dd):
-    if sleep_ops.enabled(m):
+    if run_wake and sleep_ops.enabled(m):
       dd = sleep_ops.wake(m, dd)
     if use_mass_chain:
       # position stages up to the fused crb/factor/com_vel/rne kernel
@@ -679,6 +707,9 @@ def step(m: types.Model, d: types.Data) -> types.Data:
     dd = passive.passive(m, dd)
     dd = sensor.sensor_vel(m, dd)
     dd = sensor.energy_vel(m, dd)
+    if (m.callback is not None and m.callback.control and
+        not (m.opt.disableflags & types.DisableBit.ACTUATION)):
+      dd = m.callback.control(m, dd)
     dd = fwd_actuation(m, dd)
     dd = fwd_smooth_force(m, dd)
     return dd
@@ -732,6 +763,50 @@ def step(m: types.Model, d: types.Data) -> types.Data:
   if sleep_ops.enabled(m):
     d = jax.vmap(lambda dd: sleep_ops.sleep(m, dd))(d)
   return d
+
+
+def _step_sleep_skip(m: types.Model, d: types.Data) -> types.Data:
+  """Batched step that SKIPS fully-asleep worlds (the sleeping payoff).
+
+  The reference's sleeping exists to cut work (solve_compact,
+  solver.py:3790-4160, incremental collision forward.py:652-666); the
+  TPU-native equivalent is world-level compaction: after the wake pass,
+  worlds with at least one awake tree are packed into ``W // 4`` slots
+  (leading-axis gather — fast on TPU) and only those run the pipeline;
+  fully-asleep worlds pay nothing but the wake check and a time advance.
+  A fully-asleep world has no internal wake source (nothing moves, so no
+  new contacts), only user forces — exactly what the wake pass checks.
+  If more than W//4 worlds are awake, lax.cond falls back to the full
+  batched step (both branches share one compiled program).
+  """
+  W = d.qpos.shape[0]
+  cap = W // 4
+  d = jax.vmap(lambda dd: sleep_ops.wake(m, dd))(d)
+  awake_w = jnp.any(d.tree_asleep < 0, axis=-1)  # (W,) any awake tree
+  nawake = jnp.sum(awake_w.astype(jnp.int32))
+
+  def packed(d):
+    pos = jnp.cumsum(awake_w.astype(jnp.int32)) - 1
+    dest = jnp.where(awake_w, pos, cap)
+    ids = jnp.full((W,), W, jnp.int32).at[dest].set(
+        jnp.arange(W, dtype=jnp.int32), mode='drop')[:cap]
+    valid = jnp.arange(cap, dtype=jnp.int32) < nawake
+    gat = jnp.minimum(ids, W - 1)
+    dsub = jax.tree.map(lambda x: x[gat], d)
+    dsub = _step_batched(m, dsub, run_wake=False)
+
+    def put(x, xs):
+      vshape = (cap,) + (1,) * (xs.ndim - 1)
+      upd = jnp.where(valid.reshape(vshape), xs, x[gat])
+      return x.at[ids].set(upd, mode='drop')
+
+    return jax.tree.map(put, d, dsub)
+
+  d2 = jax.lax.cond(nawake <= cap, packed,
+                    lambda d: _step_batched(m, d, run_wake=False), d)
+  # every world's clock advances (stepped worlds already got exactly +h)
+  h = m.opt.timestep.astype(d.time.dtype)
+  return d2.replace(time=d.time + h)
 
 
 @_batched

@@ -334,13 +334,16 @@ def passive(m: types.Model, d: types.Data) -> types.Data:
   else:
     qfrc_passive = qfrc_spring + qfrc_damper + qfrc_fluid + qfrc_gravcomp
 
-  return d.replace(
+  d = d.replace(
       qfrc_spring=qfrc_spring,
       qfrc_damper=qfrc_damper,
       qfrc_gravcomp=qfrc_gravcomp,
       qfrc_fluid=qfrc_fluid,
       qfrc_passive=qfrc_passive,
   )
+  if m.callback is not None and m.callback.passive:
+    d = m.callback.passive(m, d)  # reference: passive.py:1413
+  return d
 
 
 # --------------------------------------------------------------------- flex

@@ -385,7 +385,10 @@ def sensor_pos(m: types.Model, d: types.Data) -> types.Data:
     elif t == _ST.E_KINETIC:
       e = _energy_vel_value(m, d)
       sd = _write(sd, adr, 1, jnp.broadcast_to(e[None], (len(ids), 1)))
-  return d.replace(sensordata=_apply_cutoff(m, sd, stage='pos'))
+  d = d.replace(sensordata=_apply_cutoff(m, sd, stage='pos'))
+  if m.callback is not None and m.callback.sensor:
+    d = m.callback.sensor(m, d, types.Stage.POS)  # ref: sensor.py:959
+  return d
 
 
 def sensor_vel(m: types.Model, d: types.Data) -> types.Data:
@@ -465,7 +468,10 @@ def sensor_vel(m: types.Model, d: types.Data) -> types.Data:
       sd = _write(sd, adr, 3, subtree_vel[0][objid])
     elif t == _ST.SUBTREEANGMOM:
       sd = _write(sd, adr, 3, subtree_vel[1][objid])
-  return d.replace(sensordata=_apply_cutoff(m, sd, stage='vel'))
+  d = d.replace(sensordata=_apply_cutoff(m, sd, stage='vel'))
+  if m.callback is not None and m.callback.sensor:
+    d = m.callback.sensor(m, d, types.Stage.VEL)  # ref: sensor.py:1505
+  return d
 
 
 def _subtree_vel(m: types.Model, d: types.Data):
@@ -713,6 +719,8 @@ def sensor_acc(m: types.Model, d: types.Data) -> types.Data:
 
 def _finish_acc(m: types.Model, d: types.Data) -> types.Data:
   """Post-sensor-stage delay application (runs even with no acc sensors)."""
+  if m.callback is not None and m.callback.sensor:
+    d = m.callback.sensor(m, d, types.Stage.ACC)  # ref: sensor.py:2761
   if m.nhistory:
     from mujoco_warp_tpu.ops import history as history_ops
     d = history_ops.apply_sensor_delay(m, d)

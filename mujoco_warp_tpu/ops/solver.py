@@ -510,6 +510,41 @@ class _SolveCarry(NamedTuple):
   done: jax.Array
 
 
+def _make_chol_solve(m):
+  """H, grad -> H⁻¹grad with a vmap rule that swaps in the lane-parallel
+  Pallas factor/solve for the whole batch.
+
+  XLA's batched Cholesky costs ~78 ms at (8192, 81, 81) on v5e and its
+  batched TriangularSolve exceeds the scoped-vmem limit; under vmap this
+  is the jnp Newton path's whole bottleneck (everything else — the H
+  einsum, J contractions — batches onto the MXU for free)."""
+
+  @jax.custom_batching.custom_vmap
+  def cs(H, g):
+    L = jax.scipy.linalg.cholesky(
+        H + jnp.eye(H.shape[-1], dtype=H.dtype) * _MINVAL, lower=True)
+    return math.chol_solve(L, g)
+
+  @cs.def_vmap
+  def _cs_vmap(axis_size, in_batched, H, g):
+    from mujoco_warp_tpu.pallas import linalg as plinalg
+    nv = H.shape[-1]
+    lane_ok = (jax.default_backend() != 'cpu' and
+               axis_size % plinalg.TILE_W == 0 and
+               4 * plinalg.TILE_W * (4 * nv * nv + 6 * nv)
+               < plinalg._VMEM_BUDGET)
+    if lane_ok:
+      L = plinalg.chol_batched(m, H, jitter=_MINVAL)
+      out = plinalg.chol_solve_batched(m, L, g)
+    else:
+      L = jax.scipy.linalg.cholesky(
+          H + jnp.eye(nv, dtype=H.dtype)[None] * _MINVAL, lower=True)
+      out = jax.vmap(math.chol_solve)(L, g)
+    return out, True
+
+  return cs
+
+
 def _gradient(m, d, st, Ma, force, state, Jaref, mu_scale):
   """grad/Mgrad (reference: _update_gradient:3100)."""
   qfrc_constraint = d.efc_J.T @ force
@@ -519,9 +554,7 @@ def _gradient(m, d, st, Ma, force, state, Jaref, mu_scale):
     H = d.qM + (d.efc_J.T * Dq) @ d.efc_J
     if m.opt.cone == types.ConeType.ELLIPTIC:
       H = H + _cone_hessian(m, d, st, Jaref, state, mu_scale)
-    L = jax.scipy.linalg.cholesky(
-        H + jnp.eye(m.nv, dtype=H.dtype) * _MINVAL, lower=True)
-    Mgrad = math.chol_solve(L, grad)
+    Mgrad = _make_chol_solve(m)(H, grad)
   else:
     Mgrad = smooth.solve_m(m, d, grad)
   return grad, Mgrad, qfrc_constraint

@@ -81,7 +81,7 @@ def _sensors_ok(m: types.Model) -> bool:
   # camera-frame operands would need camlight in the glue
   ot = np.concatenate([np.asarray(m.sensor_objtype),
                        np.asarray(m.sensor_reftype)])
-  return not np.any(ot == int(types.ObjType.CAM))
+  return not np.any(ot == int(types.ObjType.CAMERA))
 
 
 # ------------------------------------------------------------ lane helpers
@@ -233,6 +233,8 @@ def supported_features(m: types.Model) -> bool:
   o = m.opt
   dsbl = o.disableflags
   if o.enableflags & types.EnableBit.SLEEP:
+    return False
+  if m.callback is not None:  # user hooks run in the general path only
     return False
   if m.nflex:
     return False

@@ -57,10 +57,16 @@ def supported(m: types.Model, d: types.Data) -> bool:
   if jax.default_backend() == 'cpu':
     # interpret mode is test-only; production CPU uses the jnp path
     return False
+  if _use_big(m):
+    # beyond the unroll limit the whole-solve-in-VMEM premise fails: the
+    # loop-form kernel re-streams J from HBM per H row per iteration
+    # (measured 450 ms/step on three_humanoids @8192).  Big systems take
+    # the hybrid path instead: the vmapped jnp Newton (H build and J
+    # contractions batch onto the MXU) with the lane-parallel Pallas
+    # Cholesky swapped in via custom_vmap (ops/solver._make_chol_solve)
+    return False
   vmem = 4 * TILE_W * (3 * m.nefc * m.nv + 2 * m.nv * m.nv +
                        10 * m.nefc + 16 * m.nv)
-  if _use_big(m):
-    vmem += 4 * TILE_W * 3 * m.nv * m.nv  # H/LT/LR scratch
   return vmem < _VMEM_BUDGET
 
 

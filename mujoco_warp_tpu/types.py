@@ -22,6 +22,7 @@ Enum values mirror MuJoCo's public C enums (verified against mujoco 3.10).
 
 from __future__ import annotations
 
+import dataclasses
 import enum
 from typing import Any, Optional, Tuple
 
@@ -175,6 +176,42 @@ class BroadphaseType(enum.IntEnum):
 
   NXN = 0
   SAP = 1
+
+
+class Stage(enum.IntEnum):
+  """Sensor pipeline stage passed to the user sensor callback
+  (reference: types.py Stage)."""
+
+  POS = 0
+  VEL = 1
+  ACC = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class Callback:
+  """User hooks for custom physics behavior (reference: types.py:956).
+
+  Functional divergence from the reference (whose hooks mutate Data in
+  place): every hook takes ``(m, d)`` — the sensor hook ``(m, d, stage)``
+  — and RETURNS the updated single-world Data; hooks run inside jit, so
+  they must be JAX-traceable.  Hook -> field written:
+
+    passive        Data.qfrc_passive
+    control        Data.ctrl
+    act_dyn        Data.act_dot
+    act_gain       Data.actuator_force
+    act_bias       Data.actuator_force
+    sensor         Data.sensordata
+    contactfilter  Data.contact
+  """
+
+  passive: Any = None
+  control: Any = None
+  act_dyn: Any = None
+  act_gain: Any = None
+  act_bias: Any = None
+  sensor: Any = None
+  contactfilter: Any = None
 
 
 class ObjType(enum.IntEnum):
@@ -724,6 +761,9 @@ class Model:
   # many prefilter-packed pairs (reference: sap_broadphase + nconmax
   # capacity analysis, collision_driver.py:567 / io.py:1316)
   bp_groups: Tuple[Any, ...] = field(static=True, default=())
+  # user hooks (reference: types.py:956 Callback); static — changing
+  # callbacks retraces, as with the reference's graph capture
+  callback: Any = field(static=True, default=None)
   # per candidate pair: explicit <pair> id (into pair_* override tables) or -1
   pair_explicit: np.ndarray = field(static=True, default=None)
 
