@@ -1037,6 +1037,144 @@ _ENUM_VALUES = {
 }
 
 
+def set_const(m: types.Model) -> types.Model:
+  """Recompute qpos0-derived constant model fields on device
+  (reference: io.py:3645 ``set_const`` = set_const_fixed + set_const_0 +
+  set_const_spring).
+
+  Call after editing model parameters at runtime (mass/inertia scaling,
+  qpos0 shifts, body_pos edits, ...) so derived constants stay
+  consistent.  Jax-traceable: composes with ``batch_model`` + vmap for
+  per-world domain randomization of masses etc.  Updates:
+  body_subtreemass, dof/body/tendon_invweight0, tendon_length0,
+  tendon_lengthspring (auto entries), eq_data (connect/weld body
+  anchors), actuator_acc0, actuator_biasprm dampratio resolution
+  (io.py:3287 _resolve_dampratio).  Camera/light 0-references are not
+  recomputed (the renderer reads live poses each frame).
+  """
+  from mujoco_warp_tpu.ops import math as math_ops
+  from mujoco_warp_tpu.ops import smooth
+
+  dtype = m.qpos0.dtype
+
+  # ---- fixed quantities (reference: set_const_fixed io.py:3377)
+  subtree = jnp.asarray(m.tree.subtree_mask, dtype)  # (nb, nb)
+  m = m.replace(body_subtreemass=subtree @ m.body_mass)
+
+  def fwd_at(qpos):
+    d = _empty_data(m, dtype)
+    d = d.replace(qpos=qpos.astype(dtype))
+    d = smooth.kinematics(m, d)
+    d = smooth.com_pos(m, d)
+    if m.ntendon:
+      d = smooth.tendon(m, d)
+    d = smooth.crb(m, d)
+    d = smooth.factor_m(m, d)
+    d = smooth.transmission(m, d)
+    return d
+
+  d0 = fwd_at(m.qpos0)
+
+  # ---- M⁻¹-derived weights at qpos0 (reference: set_const_0 io.py:3398)
+  eye = jnp.eye(m.nv, dtype=dtype)
+  y = jax.scipy.linalg.solve_triangular(d0.qLD, eye, lower=True)
+  Minv = jax.scipy.linalg.solve_triangular(d0.qLD.T, y, lower=False)
+  # mj_setConst averages (M⁻¹)ᵢᵢ within multi-dof joint blocks (ball:
+  # its 3 dofs; free: translational and rotational triples separately)
+  diag = jnp.diag(Minv)
+  avg = np.zeros((m.nv, m.nv), np.float32)
+  for j in range(m.njnt):
+    adr = int(m.jnt_dofadr[j])
+    jt = int(m.jnt_type[j])
+    blocks = ([(adr, 3), (adr + 3, 3)] if jt == types.JointType.FREE else
+              [(adr, 3)] if jt == types.JointType.BALL else [(adr, 1)])
+    for a, n in blocks:
+      avg[a:a + n, a:a + n] = 1.0 / n
+  m = m.replace(dof_invweight0=jnp.asarray(avg) @ diag)
+
+  from mujoco_warp_tpu.ops.constraint import _jac
+  jacp, jacr = _jac(m, d0, d0.xipos, np.arange(m.nbody))  # (nb, nv, 3)
+  # invweight = trace(J M⁻¹ Jᵀ) / 3 per block (mj_setConst semantics)
+  def block_w(jac):
+    JM = jnp.einsum('bvk,vw->bwk', jac, Minv)
+    return jnp.einsum('bwk,bwk->b', JM, jac) / 3.0
+
+  m = m.replace(body_invweight0=jnp.stack(
+      [block_w(jacp), block_w(jacr)], axis=-1))
+
+  if m.ntendon:
+    tJ = d0.ten_J  # (ntendon, nv)
+    m = m.replace(
+        tendon_length0=d0.ten_length,
+        tendon_invweight0=jnp.einsum('tv,vw,tw->t', tJ, Minv, tJ))
+    # spring resting range: auto entries (-1, -1) resolve to the length
+    # at qpos_spring (reference: _resolve_tendon_lengthspring io.py:2925)
+    d_spr = fwd_at(m.qpos_spring)
+    auto = jnp.all(m.tendon_lengthspring == -1.0, axis=-1, keepdims=True)
+    m = m.replace(tendon_lengthspring=jnp.where(
+        auto, d_spr.ten_length[:, None],
+        m.tendon_lengthspring))
+
+  # ---- equality anchors so constraints hold at qpos0 (io.py:2844)
+  if m.neq:
+    eq = np.asarray(m.eq_type)
+    objt = np.asarray(m.eq_objtype)
+    o1 = np.asarray(m.eq_obj1id)
+    o2 = np.asarray(m.eq_obj2id)
+    data = m.eq_data
+    is_conn = jnp.asarray((eq == types.EqType.CONNECT) &
+                          (objt == types.ObjType.BODY))
+    is_weld = jnp.asarray((eq == types.EqType.WELD) &
+                          (objt == types.ObjType.BODY))
+    xp1, xm1 = d0.xpos[o1], d0.xmat[o1]
+    xp2, xm2 = d0.xpos[o2], d0.xmat[o2]
+    # connect: data[3:6] = body1's anchor expressed in body2's frame
+    pos_c = xp1 + jnp.einsum('nij,nj->ni', xm1, data[:, 0:3])
+    a2 = jnp.einsum('nji,nj->ni', xm2, pos_c - xp2)
+    # weld: data[3:6] = body2's anchor in body1's frame, relquat unless
+    # the user set one
+    pos_w = xp2 + jnp.einsum('nij,nj->ni', xm2, data[:, 0:3])
+    a1 = jnp.einsum('nji,nj->ni', xm1, pos_w - xp1)
+    relquat = math_ops.mul_quat(math_ops.quat_inv(d0.xquat[o1]),
+                                d0.xquat[o2])
+    has_q = jnp.sum(data[:, 6:10] ** 2, axis=-1, keepdims=True) > 0.0
+    qn = data[:, 6:10] / jnp.sqrt(jnp.maximum(
+        jnp.sum(data[:, 6:10] ** 2, axis=-1, keepdims=True), 1e-15))
+    new = data
+    new = jnp.where(is_conn[:, None],
+                    new.at[:, 3:6].set(a2), new)
+    weld_anchor = jnp.where(has_q, new[:, 3:6], a1)
+    weld_quat = jnp.where(has_q, qn, relquat)
+    weld_new = new.at[:, 3:6].set(weld_anchor).at[:, 6:10].set(weld_quat)
+    new = jnp.where(is_weld[:, None], weld_new, new)
+    m = m.replace(eq_data=new)
+
+  # ---- actuator references (io.py:3287)
+  if m.nu:
+    mom = d0.actuator_moment  # (nu, nv)
+    acc = jnp.einsum('uv,vw->uw', mom, Minv)  # (M⁻¹ momentᵤ) per row
+    m = m.replace(actuator_acc0=jnp.sqrt(jnp.maximum(
+        jnp.einsum('uw,uw->u', acc, acc), 0.0)))
+    # dampratio -> damping for position actuators
+    M0 = jnp.diag(d0.qM)
+    kp = m.actuator_gainprm[:, 0]
+    biasprm = m.actuator_biasprm
+    is_aff = jnp.asarray(np.asarray(m.actuator_biastype)
+                         == types.BiasType.AFFINE)
+    cond = (is_aff & (jnp.abs(kp + biasprm[:, 1]) <= 1e-15) &
+            (biasprm[:, 2] > 0.0))
+    mom_nz = jnp.abs(mom) > 1e-15
+    mass = jnp.sum(jnp.where(mom_nz, M0[None, :]
+                             / jnp.maximum(mom * mom, 1e-30), 0.0),
+                   axis=-1)
+    damping = biasprm[:, 2] * 2.0 * jnp.sqrt(
+        jnp.maximum(kp * mass, 0.0))
+    m = m.replace(actuator_biasprm=biasprm.at[:, 2].set(
+        jnp.where(cond, -damping, biasprm[:, 2])))
+
+  return m
+
+
 def override_model(m: types.Model, overrides) -> types.Model:
   """Dotted-path option overrides (reference: io.py:3749 `override_model`).
 
