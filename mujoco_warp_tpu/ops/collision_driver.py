@@ -531,20 +531,20 @@ def collision(m: types.Model, d: types.Data) -> types.Data:
     return _filter_cb(m, d.replace(contact=contact,
                                    ncon_active=ncon_active))
 
-  # ---- compaction: per condim class, actives-first pack into cap slots
+  # ---- compaction: per condim class, deepest-first pack into cap slots
+  # (top_k, not argsort: a full sort of (ncand,) keys per world measured
+  # 122 ms at three_humanoids @8192; top_k(cap) is a partial selection,
+  # and under saturation keeping the deepest contacts is the physically
+  # right drop policy — same as the broadphase-pruned path)
   sel_list, valid_list = [], []
   ncon_active = jnp.zeros((), jnp.int32)
   over = jnp.zeros((), bool)
   for dim, cap, ci, slot in m.con_classes:
     ci_j = jnp.asarray(ci)
     act = dist[ci_j] < im_cand[ci_j]
-    # actives keep candidate order; inactives sort to the back
-    keys = jnp.where(act, jnp.arange(len(ci), dtype=jnp.int32),
-                     jnp.int32(m.ncand))
-    order = jnp.argsort(keys)[:cap]
+    order, nact = _pack_nearest(act, dist[ci_j], cap)
     sel_list.append(ci_j[order])
     valid_list.append(act[order])
-    nact = jnp.sum(act.astype(jnp.int32))
     ncon_active = ncon_active + jnp.minimum(nact, cap)
     over = over | (nact > cap)
 

@@ -70,7 +70,10 @@ def fwd_position(m: types.Model, d: types.Data,
   if sleep_ops.enabled(m):
     d = sleep_ops.wake_equality(m, d)
     d = sleep_ops.mask_sleeping(m, d)
-  d = island.island(m, d)
+    # islands feed sleep's island-agreement test; without sleeping no
+    # pipeline stage consumes the labels (43 ms/step at 8192 worlds) —
+    # ops/island.island remains callable directly
+    d = island.island(m, d)
   d = smooth.transmission(m, d)
   return d
 
@@ -692,9 +695,9 @@ def _step_batched(m: types.Model, d: types.Data,
     if sleep_ops.enabled(m):
       dd = sleep_ops.wake_equality(m, dd)
       dd = sleep_ops.mask_sleeping(m, dd)
-    # islands on this path too (the reference-order path computes them in
-    # fwd_position; keeping both paths identical avoids stale labels)
-    dd = island.island(m, dd)
+      # islands feed sleep's island-agreement test only (43 ms/step at
+      # three_humanoids @8192 when computed unconditionally)
+      dd = island.island(m, dd)
     dd = smooth.transmission(m, dd)
     dd = sensor.sensor_pos(m, dd)
     dd = sensor.energy_pos(m, dd)

@@ -61,7 +61,10 @@ def test_island_labels(nstep):
   # spheres 1+3 stacked (one island incl. floor contacts), sphere 2 its
   # own island, sphere 4 in flight (unconstrained), hinge at the limit
   mjm, mjd, m, d = _build(nstep=nstep)
-  d = jax.jit(lambda d: fwd.forward(m, d))(d)
+  # islands are computed in-pipeline only under sleeping (matching the
+  # reference, forward.py:675); invoke the labeler directly here
+  from mujoco_warp_tpu.ops import island as island_ops
+  d = jax.jit(lambda d: island_ops.island(m, fwd.forward(m, d)))(d)
   assert int(d.nisland) == mjd.nisland
   np.testing.assert_array_equal(np.asarray(d.dof_island), mjd.dof_island)
   # efc rows: compare labels on our active rows against the oracle rows
