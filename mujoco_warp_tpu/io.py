@@ -257,6 +257,15 @@ def _flex_fields(mjm: mujoco.MjModel, dtype) -> dict:
   )
 
 
+def _custom_numeric(mjm: mujoco.MjModel, name: str):
+  """Read a named MJCF <custom><numeric> scalar, or None (reference:
+  io.py:437-441 reads engine-only options the same way)."""
+  nid = mujoco.mj_name2id(mjm, mujoco.mjtObj.mjOBJ_NUMERIC, name)
+  if nid < 0:
+    return None
+  return float(mjm.numeric_data[mjm.numeric_adr[nid]])
+
+
 def _con_classes(con_dim: np.ndarray, nconmax) -> Tuple:
   """Group candidate contact slots by condim and assign slot capacities.
 
@@ -365,6 +374,15 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
   # would burn its whole iteration budget bouncing around the optimum
   # (reference: io.py:429 applies the same 1e-6 floor)
   tolerance = max(float(mjm.opt.tolerance), 1e-6)
+  # engine-only options carried in MJCF <custom><numeric> entries
+  # (reference: io.py:437-441 reads contact_sensor_maxmatch the same way)
+  warn_overflow = _custom_numeric(mjm, 'warn_overflow')
+  if nconmax is None:
+    cn = _custom_numeric(mjm, 'nconmax')
+    nconmax = int(cn) if cn is not None else None
+  if bp_cap is None:
+    cb = _custom_numeric(mjm, 'bp_cap')
+    bp_cap = int(cb) if cb is not None else None
   opt = types.Option(
       timestep=_jnp(mjm.opt.timestep, dtype),
       impratio=_jnp(mjm.opt.impratio, dtype),
@@ -390,6 +408,8 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
       ccd_iterations=int(mjm.opt.ccd_iterations),
       sdf_iterations=int(mjm.opt.sdf_iterations),
       sdf_initpoints=int(mjm.opt.sdf_initpoints),
+      warn_overflow=(bool(warn_overflow)
+                     if warn_overflow is not None else True),
   )
   stat = types.Statistic(meaninertia=_jnp(mjm.stat.meaninertia, dtype))
   tree = _tree_info(mjm)

@@ -590,10 +590,11 @@ def _collision_pruned(m: types.Model, d: types.Data, dtype) -> types.Data:
   collision_driver.py:567 + nconmax capacity analysis io.py:1316).
   """
   (dist_p, pos_p, frame_p, cand_p, valid_p, ranges,
-   over) = _narrowphase_pruned(m, d, dtype)
+   bp_over) = _narrowphase_pruned(m, d, dtype)
   im_cand = m.cand_includemargin
   act = valid_p & (dist_p < im_cand[cand_p])
   sel_list, valid_list = [], []
+  over = jnp.zeros((), bool)
   ncon_active = jnp.zeros((), jnp.int32)
   for dim, cap, _, _ in m.con_classes:
     ids = np.concatenate(
@@ -636,6 +637,12 @@ def _collision_pruned(m: types.Model, d: types.Data, dtype) -> types.Data:
       geom2=g2t[cp[cand]],
       cand=jnp.where(valid, cand, -1),
   )
-  overflow = d.overflow | jnp.where(over, types.OverflowType.CONTACT, 0)
+  # CONTACT: narrowphase slot compaction saturated (reference
+  # NARROWPHASE).  CONSTRAINT: the broadphase pair budget dropped a
+  # penetrating pair before narrowphase, so constraint rows that should
+  # exist were never assembled (reference BROADPHASE/NEFC analog).
+  overflow = (d.overflow |
+              jnp.where(over, types.OverflowType.CONTACT, 0) |
+              jnp.where(bp_over, types.OverflowType.CONSTRAINT, 0))
   return d.replace(contact=contact, ncon_active=ncon_active,
                    overflow=overflow.astype(jnp.int32))

@@ -508,6 +508,7 @@ class _SolveCarry(NamedTuple):
   improvement: jax.Array
   niter: jax.Array
   done: jax.Array
+  conv: jax.Array  # latched: world met a tolerance (vs. hit the cap)
 
 
 def _make_chol_solve(m):
@@ -630,8 +631,9 @@ def solve(m: types.Model, d: types.Data) -> types.Data:
     niter = c.niter + 1
     grad_norm = rescale * jnp.sqrt(jnp.maximum(jnp.dot(grad, grad), 0.0))
     impr = rescale * improvement
-    done = ((impr < tol) | (grad_norm < tol) | (model_improvement < tol) |
-            (niter >= m.opt.iterations))
+    converged = ((impr < tol) | (grad_norm < tol) |
+                 (model_improvement < tol))
+    done = converged | (niter >= m.opt.iterations)
 
     # frozen worlds keep their carry (vmap-of-while semantics)
     keep = lambda new, old: jnp.where(c.done, old, new)
@@ -643,20 +645,28 @@ def solve(m: types.Model, d: types.Data) -> types.Data:
         prev_grad=keep(grad, c.prev_grad),
         prev_Mgrad=keep(Mgrad, c.prev_Mgrad),
         improvement=keep(impr, c.improvement),
-        niter=keep(niter, c.niter), done=c.done | done)
+        niter=keep(niter, c.niter), done=c.done | done,
+        conv=c.conv | (~c.done & converged))
 
   carry = _SolveCarry(
       qacc=qacc, Ma=Ma, Jaref=Jaref, force=force, state=state,
       search=search, grad=grad, Mgrad=Mgrad, prev_grad=grad,
       prev_Mgrad=Mgrad, improvement=jnp.full((), jnp.inf, dtype),
-      niter=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool))
+      niter=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool),
+      conv=jnp.zeros((), bool))
 
   carry = jax.lax.while_loop(lambda c: ~c.done, body, carry)
 
   qfrc_constraint = d.efc_J.T @ carry.force
+  # overflow accounting (reference OverflowType + solver_niter buckets,
+  # testspeed.py:266-278): a world that exhausted opt.iterations without
+  # meeting any tolerance gets the SOLVER bit
+  overflow = d.overflow | jnp.where(
+      ~carry.conv, jnp.int32(types.OverflowType.SOLVER), 0)
   return d.replace(
       qacc=carry.qacc,
       qacc_warmstart=carry.qacc,
       qfrc_constraint=qfrc_constraint,
       efc_force=carry.force,
+      overflow=overflow.astype(jnp.int32),
       solver_niter=carry.niter)

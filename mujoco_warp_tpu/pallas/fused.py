@@ -1370,6 +1370,12 @@ def step_lane(m: types.Model, st: FusedState,
       m, damped, qM, qLD, qfs, st.warmstart, st.qvel, st.qpos, cdof, con,
       scalars, interpret=interpret)
   h = m.opt.timestep.astype(dtype)
+  # SOLVER overflow: niter == opt.iterations means the Newton cap fired
+  # before the kernel's tolerance predicate (conservative at the
+  # boundary, same as pallas/solver.solve_batched)
+  overflow = overflow | jnp.where(
+      niter.astype(jnp.int32) >= jnp.int32(m.opt.iterations),
+      jnp.int32(types.OverflowType.SOLVER), 0)
   return FusedState(
       qpos=qpos_n, qvel=qvel_n, ctrl=st.ctrl, warmstart=warm,
       qacc=qacc_i, time=st.time + h, solver_niter=niter,

@@ -726,9 +726,19 @@ def solve_batched(m: types.Model, d: types.Data,
   qacc_w = qacc.T
   force_w = force.T
   qfrc_constraint = qfrc_c.T
+  # SOLVER overflow: the kernel's done predicate is tolerance-or-cap, so
+  # niter == opt.iterations means the cap fired (a world converging
+  # exactly on the last permitted iteration also lands here — a
+  # conservative flag, same observable the reference exposes via its
+  # solver_niter buckets, testspeed.py:266-278)
+  niter_w = niter[0].astype(jnp.int32)
+  overflow = d.overflow | jnp.where(
+      niter_w >= jnp.int32(m.opt.iterations),
+      jnp.int32(types.OverflowType.SOLVER), 0)
   return d.replace(
       qacc=qacc_w,
       qacc_warmstart=qacc_w,
       qfrc_constraint=qfrc_constraint,
       efc_force=force_w,
-      solver_niter=niter[0].astype(jnp.int32))
+      overflow=overflow.astype(jnp.int32),
+      solver_niter=niter_w)

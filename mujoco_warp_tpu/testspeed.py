@@ -44,6 +44,19 @@ def _memory_report(obj):
   return total, per_field
 
 
+def overflow_report(m, d):
+  """Decode per-world overflow bits into named counts (reference:
+  testspeed.py:266-278 per-world OverflowType flag decode)."""
+  from mujoco_warp_tpu import types
+  bits = np.asarray(jax.device_get(d.overflow))
+  report = {}
+  for flag in types.OverflowType:
+    n = int(np.sum((bits & int(flag)) != 0))
+    if n:
+      report[flag.name] = n
+  return report
+
+
 def public_api():
   """Reflected benchmarkable API: public functions with the uniform
   (m: Model, d: Data) -> Data signature (reference: testspeed.py:45-51
@@ -130,6 +143,10 @@ def main(argv=None):
   p.add_argument('--event_trace', action='store_true')
   p.add_argument('--override', '-o', action='append', default=[])
   p.add_argument('--seed', type=int, default=0)
+  p.add_argument('--overflow_behavior', choices=['warn', 'error', 'ignore'],
+                 default='warn',
+                 help='what to do when per-world overflow bits are set '
+                      '(reference: testspeed.py --overflow_behavior)')
   args = p.parse_args(argv)
 
   import mujoco
@@ -221,6 +238,29 @@ def main(argv=None):
   metrics['data_memory'] = dt_
   metrics['model_memory_fields'] = mf
   metrics['data_memory_fields'] = df
+
+  # per-world overflow accounting (m.opt.warn_overflow gates the warn;
+  # --overflow_behavior=error aborts, mirroring the reference)
+  # (the default 'step' path rolls out inside benchmarks.run and reports
+  # overflow_worlds itself; here d holds post-rollout state only for the
+  # --function/--replay paths)
+  if (args.overflow_behavior != 'ignore' and hasattr(d, 'overflow') and
+      'overflow_worlds' not in metrics):
+    report = overflow_report(m, d)
+    if report:
+      metrics['overflow'] = report
+      msg = ('overflow bits set: ' +
+             ', '.join(f'{k} in {v} worlds' for k, v in report.items()))
+      if args.overflow_behavior == 'error':
+        print(msg, file=sys.stderr)
+        sys.exit(1)
+      if m.opt.warn_overflow:
+        print('WARNING: ' + msg, file=sys.stderr)
+  elif (args.overflow_behavior == 'error' and
+        metrics.get('overflow_worlds', 0)):
+    print(f"overflow in {metrics['overflow_worlds']} worlds",
+          file=sys.stderr)
+    sys.exit(1)
 
   if args.measure_alloc:
     # bucket stats over a fresh rollout tail (reference: testspeed.py

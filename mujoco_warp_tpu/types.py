@@ -329,6 +329,9 @@ class Option:
   broadphase: int = field(static=True, default=BroadphaseType.NXN)
   # run collision detection every step (reference: run_collision_detection)
   run_collision_detection: bool = field(static=True, default=True)
+  # warn on per-world overflow bits at readback (reference: warn_overflow,
+  # types.py:869; set from <custom><numeric name="warn_overflow">)
+  warn_overflow: bool = field(static=True, default=True)
   ccd_iterations: int = field(static=True, default=50)
   sdf_iterations: int = field(static=True, default=10)
   sdf_initpoints: int = field(static=True, default=40)
