@@ -46,8 +46,15 @@ BENCHMARKS = {
     'spheres_elliptic': (os.path.join(_REPO, 'spheres.xml'), 4096, 1000,
                          ('opt.cone=elliptic',), None),
     # cloth: 81-vertex flex grid, edge equality + vertex-plane contacts
-    # (reference cloth benchmark analog; CG solver, 243 DoF)
+    # (toy; CG solver, 243 DoF)
     'cloth': (os.path.join(_REPO, 'cloth.xml'), 32, 1000, (), None),
+    # the reference suite's own cloth scene (900-vertex towel over a
+    # mannequin, 2706 DoF, CG + pyramidal, selfcollide) — rides the
+    # tree-blocked mass matrix + compact-chain EFC representations;
+    # contact budget mirrors the reference (nconmax=2200,
+    # benchmarks/cloth/__init__.py:6)
+    'cloth_ref': (os.path.join(_REF, 'cloth/scene.xml'), 32, 1000, (),
+                  {3: 2200}),
     # mesh manipulation: the reference's aloha_pot test_data scene (204
     # geoms, 134 meshes, 23 DoF, 30,658 candidate pairs) — rides the
     # broadphase-pruned collision path; reference budget nconmax=24

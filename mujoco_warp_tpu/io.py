@@ -87,6 +87,20 @@ def _tree_info(mjm: mujoco.MjModel) -> types.TreeInfo:
       if i >= dadr + 3:  # rotational dof of a free joint
         cdofdot[i, dadr:dadr + 3] = True
 
+  # tree-blocked mass-matrix classes: group kinematic trees by dof width
+  # (reference analog: per-tree M-block layout, io.py:191-241)
+  tree_dofs = {}
+  for i in range(nv):
+    tree_dofs.setdefault(int(mjm.dof_treeid[i]), []).append(i)
+  by_width = {}
+  for t, dofs in sorted(tree_dofs.items()):
+    by_width.setdefault(len(dofs), []).append(dofs)
+  block_classes = []
+  for w in sorted(by_width):
+    rows = np.asarray(by_width[w], np.int32)  # (ntree_w, w)
+    ancm = anc[rows[:, :, None], rows[:, None, :]]  # (ntree_w, w, w)
+    block_classes.append((w, rows, ancm))
+
   return types.TreeInfo(
       body_levels=levels,
       body_levels_rev=levels_rev,
@@ -95,6 +109,7 @@ def _tree_info(mjm: mujoco.MjModel) -> types.TreeInfo:
       body_dof_mask=body_dof,
       dof_subtree_mask=dof_subtree,
       cdofdot_mask=cdofdot,
+      block_classes=tuple(block_classes),
   )
 
 
@@ -351,10 +366,79 @@ def _bp_groups(pairs, con_classes, con_compact,
   return tuple(out)
 
 
+def _body_chains(mjm: mujoco.MjModel) -> Tuple[np.ndarray, int]:
+  """(nbody, chain_K) ancestor-chain dof ids per body, padded with nv."""
+  chains = []
+  for b in range(mjm.nbody):
+    dofs = []
+    a = b
+    while a > 0:
+      adr = int(mjm.body_dofadr[a])
+      dofs = list(range(adr, adr + int(mjm.body_dofnum[a]))) + dofs
+      a = int(mjm.body_parentid[a])
+    chains.append(dofs)
+  k = max((len(c) for c in chains), default=0)
+  out = np.full((mjm.nbody, max(k, 1)), mjm.nv, np.int32)
+  for b, c in enumerate(chains):
+    out[b, :len(c)] = c
+  return out, k
+
+
+def _detect_blocked(mjm: mujoco.MjModel, tree: types.TreeInfo) -> bool:
+  """Auto-enable the tree-blocked mass matrix: many small independent
+  trees + CG + an explicit integrator (cloth/particle systems).  The
+  dense O(nv^3) factor is replaced by per-tree block Cholesky; Newton
+  (dense H) and implicit integrators keep the dense path."""
+  if mjm.nv < 256 or not tree.block_classes:
+    return False
+  if max(w for w, _, _ in tree.block_classes) > 16:
+    return False
+  if mjm.opt.solver != mujoco.mjtSolver.mjSOL_CG:
+    return False
+  if mjm.opt.integrator not in (mujoco.mjtIntegrator.mjINT_EULER,
+                                mujoco.mjtIntegrator.mjINT_RK4):
+    return False
+  if mjm.ntendon and np.any(mjm.tendon_armature > 0):
+    return False
+  return True
+
+
+def _detect_compact(mjm: mujoco.MjModel, lay: types.EfcLayout,
+                    chain_k: int) -> bool:
+  """Auto-enable the compact-chain constraint Jacobian: every EFC row
+  touches few dofs (flex edges: 6, contacts: two ancestor chains) and the
+  solver is CG + pyramidal (Newton's H needs dense J).  Excludes features
+  whose code reads dense efc_J rows (contact sensors, BODY adhesion,
+  sleeping's row_alive, islands)."""
+  if mjm.nv < 256 or chain_k == 0 or 2 * chain_k > 16:
+    return False
+  if mjm.opt.solver != mujoco.mjtSolver.mjSOL_CG:
+    return False
+  if mjm.opt.cone != mujoco.mjtCone.mjCONE_PYRAMIDAL:
+    return False
+  # only flex-edge equality rows are emitted in compact form
+  if (len(lay.connect_id) or len(lay.weld_id) or len(lay.joint_id) or
+      len(lay.tendon_id)):
+    return False
+  if (len(lay.fri_dof_id) or len(lay.fri_ten_id) or len(lay.lim_jnt_id) or
+      len(lay.lim_ten_id)):
+    return False
+  if mjm.nsensor:
+    return False
+  if mjm.nu and np.any(mjm.actuator_trntype ==
+                       int(mujoco.mjtTrn.mjTRN_BODY)):
+    return False
+  if mjm.opt.enableflags & mujoco.mjtEnableBit.mjENBL_SLEEP:
+    return False
+  return True
+
+
 def put_model(mjm: mujoco.MjModel, dtype=np.float32,
               nconmax: Optional[int] = None,
               bp_cap: Optional[int] = None,
               sdf_plugins: Optional[dict] = None,
+              m_blocked: Optional[bool] = None,
+              efc_compact: Optional[bool] = None,
               callback: Optional[types.Callback] = None) -> types.Model:
   """Convert a mujoco.MjModel into a device Model (reference: io.py:287).
 
@@ -443,6 +527,15 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
   ne, nf, nl, nefc, con_efc_adr, efc_layout = _efc_layout(
       mjm, slot_dim, int(mjm.opt.cone))
 
+  # big-nv representations (cloth/particle systems): tree-blocked mass
+  # matrix + compact-chain constraint Jacobian
+  if m_blocked is None:
+    m_blocked = _detect_blocked(mjm, tree)
+  body_chain, chain_k = _body_chains(mjm)
+  if efc_compact is None:
+    efc_compact = _detect_compact(mjm, efc_layout, chain_k)
+  efc_K = max(6, 2 * chain_k) if efc_compact else 0
+
   flex_fields = _flex_fields(mjm, dtype)
 
   # geoms of type SDF resolve their signed-distance function from the
@@ -478,6 +571,8 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
       ntendon=mjm.ntendon, nwrap=mjm.nwrap, nsensor=mjm.nsensor,
       nsensordata=mjm.nsensordata, nhistory=mjm.nhistory,
       ne=ne, nf=nf, nl=nl, nefc=nefc, ncon=ncon, ncand=ncand,
+      m_blocked=bool(m_blocked), efc_compact=bool(efc_compact),
+      efc_K=efc_K, body_chain=body_chain, chain_K=chain_k,
       geom_sdf_fn=geom_sdf_fn,
       **flex_fields,
       con_classes=con_classes, con_compact=con_compact, con_dim=slot_dim,
@@ -878,7 +973,15 @@ def _empty_data(m: types.Model, dtype=np.float32) -> types.Data:
       light_xpos=z(m.nlight, 3), light_xdir=z(m.nlight, 3),
       subtree_com=z(m.nbody, 3),
       cinert=z(m.nbody, 6, 6), cdof=z(m.nv, 6),
-      crb=z(m.nbody, 6, 6), qM=z(m.nv, m.nv), qLD=z(m.nv, m.nv),
+      crb=z(m.nbody, 6, 6),
+      qM=z(0, 0) if m.m_blocked else z(m.nv, m.nv),
+      qLD=z(0, 0) if m.m_blocked else z(m.nv, m.nv),
+      qM_blk=tuple(z(r.shape[0], w, w)
+                   for w, r, _ in m.tree.block_classes) if m.m_blocked
+      else (),
+      qLD_blk=tuple(z(r.shape[0], w, w)
+                    for w, r, _ in m.tree.block_classes) if m.m_blocked
+      else (),
       ten_length=z(m.ntendon), ten_J=z(m.ntendon, m.nv),
       actuator_length=z(m.nu), actuator_moment=z(m.nu, m.nv),
       cvel=z(m.nbody, 6), cdof_dot=z(m.nv, 6),
@@ -889,7 +992,10 @@ def _empty_data(m: types.Model, dtype=np.float32) -> types.Data:
       qfrc_smooth=z(m.nv), qacc_smooth=z(m.nv), qfrc_inverse=z(m.nv),
       qfrc_constraint=z(m.nv), qacc=z(m.nv), qacc_warmstart=z(m.nv),
       contact=contact,
-      efc_J=z(m.nefc, m.nv), efc_pos=z(m.nefc), efc_margin=z(m.nefc),
+      efc_J=z(m.nefc, m.efc_K if m.efc_compact else m.nv),
+      efc_Jidx=jnp.asarray(np.full((m.nefc, m.efc_K), m.nv, np.int32))
+      if m.efc_compact else jnp.zeros((0, 0), jnp.int32),
+      efc_pos=z(m.nefc), efc_margin=z(m.nefc),
       efc_frictionloss=z(m.nefc), efc_D=z(m.nefc), efc_aref=z(m.nefc),
       efc_force=z(m.nefc),
       efc_active=jnp.zeros((m.nefc,), bool),

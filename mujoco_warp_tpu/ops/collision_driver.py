@@ -62,8 +62,14 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
   # ngeom + vertid (the TPU-native replacement for the reference's
   # separate flex broadphase/narrowphase, collision_flex.py:2898/3705:
   # vertex spheres ride the same static pair machinery; mjContact's
-  # flex/vert tagging maps to the pseudo geom id).  v1: rigid-vs-vertex
-  # only; flex self-collision pairs are not generated.
+  # flex/vert tagging maps to the pseudo geom id).  Self-collision
+  # (flex_selfcollide != none) adds vertex-vertex sphere pairs within
+  # the same flex, excluding element-sharing neighbors (whose spacing
+  # the edge-equality rows already pin); the broadphase prefilter prunes
+  # the O(nvert²) table to the per-class pair budget at runtime.
+  # Divergence (documented): the reference collides elements
+  # (triangles/tets, collision_flex.py:3705); vertex spheres of the
+  # flex radius approximate that surface.
   nreal = mjm.ngeom
   nfv = int(mjm.nflexvert) if mjm.nflex else 0
   if nfv:
@@ -71,6 +77,19 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
     for f in range(mjm.nflex):
       fid[mjm.flex_vertadr[f]:mjm.flex_vertadr[f] +
           mjm.flex_vertnum[f]] = f
+    # element-sharing vertex pairs (local ids per flex -> global)
+    adjacent = set()
+    for f in range(mjm.nflex):
+      dfx = int(mjm.flex_dim[f])
+      base = int(mjm.flex_vertadr[f])
+      for e in range(int(mjm.flex_elemnum[f])):
+        adr = int(mjm.flex_elemdataadr[f]) + e * (dfx + 1)
+        vs = [int(v) + base
+              for v in mjm.flex_elem[adr:adr + dfx + 1]]
+        for i in range(len(vs)):
+          for j in range(i + 1, len(vs)):
+            adjacent.add((min(vs[i], vs[j]), max(vs[i], vs[j])))
+    selfcollide = mjm.flex_selfcollide
     ge_type = np.concatenate([
         mjm.geom_type, np.full(nfv, int(_GT.SPHERE), mjm.geom_type.dtype)])
     ge_body = np.concatenate([mjm.geom_bodyid, mjm.flex_vertbodyid])
@@ -93,7 +112,13 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
   for a in range(n_all):
     for b in range(a + 1, n_all):
       if a >= nreal and b >= nreal:
-        continue  # no flex self-collision (v1)
+        va, vb = a - nreal, b - nreal
+        if fid[va] == fid[vb]:
+          if not selfcollide[fid[va]]:
+            continue
+          if (va, vb) in adjacent:
+            continue
+        # different flexes fall through to standard filtering
       ba, bb = ge_body[a], ge_body[b]
       if ba == bb:
         continue

@@ -140,29 +140,68 @@ def _jac_dot(m: types.Model, d: types.Data, point, bodyid, cdof_dot):
 
 
 class _Rows:
-  """Accumulator for constraint rows scattered into the static layout."""
+  """Accumulator for constraint rows scattered into the static layout.
+
+  With ``m.efc_compact`` the Jacobian is (nefc, efc_K) values plus
+  (nefc, efc_K) dof indices (pad = nv) instead of dense (nefc, nv); only
+  flex-edge equality and contact rows are emitted in that mode (io.py
+  detection guarantees nothing else exists)."""
 
   def __init__(self, m: types.Model, dtype):
-    self.J = jnp.zeros((m.nefc, m.nv), dtype)
+    self.compact = m.efc_compact
+    if self.compact:
+      self.J = jnp.zeros((m.nefc, m.efc_K), dtype)
+      self.Jidx = jnp.asarray(
+          np.full((m.nefc, m.efc_K), m.nv, np.int32))
+    else:
+      self.J = jnp.zeros((m.nefc, m.nv), dtype)
+      self.Jidx = jnp.zeros((0, 0), jnp.int32)
     self.pos = jnp.zeros((m.nefc,), dtype)
     self.margin = jnp.zeros((m.nefc,), dtype)
     self.D = jnp.zeros((m.nefc,), dtype)
     self.aref = jnp.zeros((m.nefc,), dtype)
     self.frictionloss = jnp.zeros((m.nefc,), dtype)
     self.active = jnp.zeros((m.nefc,), bool)
+    self._K = m.efc_K
+    self._nv = m.nv
 
   def set(self, adr, J, pos, margin, D, aref, frictionloss, active):
     """adr: static numpy row indices; all values first-dim len(adr)."""
+    assert not self.compact, 'dense row emit in compact EFC mode'
     # inactive rows are zeroed so they vanish from all solver products
     act_f = active.astype(J.dtype)[:, None]
     self.J = self.J.at[adr].set(J * act_f)
-    self.pos = self.pos.at[adr].set(pos * act_f[:, 0])
-    self.margin = self.margin.at[adr].set(margin * act_f[:, 0])
-    self.D = self.D.at[adr].set(D * act_f[:, 0])
-    self.aref = self.aref.at[adr].set(aref * act_f[:, 0])
+    self._set_scalars(adr, pos, margin, D, aref, frictionloss, active,
+                      act_f[:, 0])
+
+  def set_compact(self, adr, vals, idx, pos, margin, D, aref,
+                  frictionloss, active):
+    """vals (n, kk) row values on dof ids idx (n, kk), kk <= efc_K."""
+    act_f = active.astype(vals.dtype)[:, None]
+    kk = vals.shape[1]
+    if kk < self._K:
+      vals = jnp.concatenate(
+          [vals, jnp.zeros((vals.shape[0], self._K - kk), vals.dtype)], -1)
+      idx = jnp.concatenate(
+          [idx, jnp.full((vals.shape[0], self._K - kk), self._nv,
+                         jnp.int32)], -1) if isinstance(idx, jax.Array) \
+          else np.concatenate(
+              [idx, np.full((vals.shape[0], self._K - kk), self._nv,
+                            np.int32)], -1)
+    self.J = self.J.at[adr].set(vals * act_f)
+    self.Jidx = self.Jidx.at[adr].set(idx)
+    self._set_scalars(adr, pos, margin, D, aref, frictionloss, active,
+                      act_f[:, 0])
+
+  def _set_scalars(self, adr, pos, margin, D, aref, frictionloss, active,
+                   act1):
+    self.pos = self.pos.at[adr].set(pos * act1)
+    self.margin = self.margin.at[adr].set(margin * act1)
+    self.D = self.D.at[adr].set(D * act1)
+    self.aref = self.aref.at[adr].set(aref * act1)
     if frictionloss is not None:
       self.frictionloss = self.frictionloss.at[adr].set(
-          frictionloss * act_f[:, 0])
+          frictionloss * act1)
     self.active = self.active.at[adr].set(active)
 
 
@@ -433,13 +472,6 @@ def _equality_flex(m, d, rows, dtype):
     length = d.flexedge_length[ebase:ebase + nfe]
     uhat = u / jnp.maximum(length, 1e-12)[:, None]
 
-    # J rows via static scatter: row r has -u on vert0 dofs, +u on vert1
-    rows_idx = np.arange(nfe)
-    J = jnp.zeros((nfe, nv), dtype)
-    for k in range(3):
-      J = J.at[rows_idx, dof[e[:, 0]] + k].add(-uhat[:, k])
-      J = J.at[rows_idx, dof[e[:, 1]] + k].add(uhat[:, k])
-
     pos = length - m.flexedge_length0[ebase:ebase + nfe]
     vel = d.flexedge_velocity[ebase:ebase + nfe]
     invw = m.flexedge_invweight0[ebase:ebase + nfe]
@@ -449,6 +481,22 @@ def _equality_flex(m, d, rows, dtype):
         m, pos, jnp.abs(pos), invw, solref, solimp, 0.0, vel, dtype)
     active = jnp.broadcast_to(d.eq_active[eqid], (nfe,))
     adr = int(adr0) + np.arange(nfe)
+    if m.efc_compact:
+      # row r: -uhat on vert0's 3 slide dofs, +uhat on vert1's
+      vals = jnp.concatenate([-uhat, uhat], axis=-1)  # (nfe, 6)
+      idx = np.concatenate(
+          [dof[e[:, 0]][:, None] + np.arange(3),
+           dof[e[:, 1]][:, None] + np.arange(3)], axis=-1).astype(np.int32)
+      rows.set_compact(adr, vals, idx, posv, jnp.zeros_like(posv), D,
+                       aref, None, active)
+      continue
+
+    # J rows via static scatter: row r has -u on vert0 dofs, +u on vert1
+    rows_idx = np.arange(nfe)
+    J = jnp.zeros((nfe, nv), dtype)
+    for k in range(3):
+      J = J.at[rows_idx, dof[e[:, 0]] + k].add(-uhat[:, k])
+      J = J.at[rows_idx, dof[e[:, 1]] + k].add(uhat[:, k])
     rows.set(adr, J, posv, jnp.zeros_like(posv), D, aref, None, active)
 
 
@@ -542,11 +590,106 @@ def _limit(m, d, rows, dtype):
     rows.set(lay.lim_ten_adr, J, posv, margin, D, aref, None, active)
 
 
+def _jac_chain(m, d, point, bodyid):
+  """Chain-restricted point Jacobian for the compact EFC mode.
+
+  Returns (jacp (k, chain_K, 3), jacr (k, chain_K, 3), idx (k, chain_K))
+  — values only on the body's ancestor-chain dofs (everything else is
+  structurally zero); padding ids equal nv and carry zero values (the
+  padded cdof row is zero)."""
+  chain = jnp.asarray(m.body_chain)
+  rootid = jnp.asarray(m.body_rootid)
+  cdof_pad = jnp.concatenate(
+      [d.cdof, jnp.zeros((1, 6), d.cdof.dtype)], axis=0)
+  ch = chain[bodyid]  # (k, Kb)
+  cd = cdof_pad[ch]  # (k, Kb, 6)
+  off = point[:, None, :] - d.subtree_com[rootid[bodyid]][:, None, :]
+  jacp = cd[..., 3:] + jnp.cross(cd[..., :3], off)
+  jacr = cd[..., :3]
+  return jacp, jacr, ch
+
+
+def _contact_compact(m, d, rows, dtype):
+  """Contact rows in compact-chain form: same row values as `_contact`,
+  but only on the two bodies' ancestor-chain dofs (pyramidal/frictionless
+  cones; io detection excludes elliptic)."""
+  con = d.contact
+  assert m.opt.cone != types.ConeType.ELLIPTIC
+  geom_bodyid = jnp.asarray(m.geom_bodyid)
+  qvel_pad = jnp.concatenate([d.qvel, jnp.zeros((1,), dtype)])
+  dims = np.asarray(con.dim)
+  for dim in np.unique(dims):
+    dim = int(dim)
+    idx_ = np.nonzero(dims == dim)[0]
+    k = len(idx_)
+    body1 = geom_bodyid[con.geom1[idx_]]
+    body2 = geom_bodyid[con.geom2[idx_]]
+    pos = con.pos[idx_]
+    frame = con.frame[idx_]
+    dist = con.dist[idx_]
+    margin = con.includemargin[idx_]
+    cpos = dist - margin
+    active = dist < margin
+
+    jacp1, jacr1, ch1 = _jac_chain(m, d, pos, body1)
+    jacp2, jacr2, ch2 = _jac_chain(m, d, pos, body2)
+    jacp = jnp.concatenate([-jacp1, jacp2], axis=1)  # (k, 2Kb, 3)
+    jacr = jnp.concatenate([-jacr1, jacr2], axis=1)
+    idxK = jnp.concatenate([ch1, ch2], axis=1)  # (k, 2Kb)
+
+    Jp = jnp.einsum('kij,kKj->kiK', frame, jacp)  # rows [n, t1, t2]
+    Jr = jnp.einsum('kij,kKj->kiK', frame, jacr)
+
+    invweight = m.body_invweight0[body1, 0] + m.body_invweight0[body2, 0]
+    friction = con.friction[idx_]
+    solref = con.solref[idx_]
+    solimp = con.solimp[idx_]
+
+    if dim == 1:
+      Jrows = Jp[:, :1]  # (k, 1, 2Kb)
+      nrow = 1
+      iw = invweight[:, None]
+      ref = solref[:, None, :]
+      pos_aref = cpos[:, None]
+    else:
+      nrow = 2 * (dim - 1)
+      dirs = [Jp[:, 1], Jp[:, 2], Jr[:, 0], Jr[:, 1], Jr[:, 2]]
+      rows_l = []
+      for o in range(nrow):
+        fi = o // 2
+        sign = 1.0 - 2.0 * float(o & 1)
+        rows_l.append(Jp[:, 0] + sign * friction[:, fi][:, None] * dirs[fi])
+      Jrows = jnp.stack(rows_l, axis=1)  # (k, nrow, 2Kb)
+      fri0 = friction[:, 0]
+      iw = invweight + fri0 * fri0 * invweight
+      impratio_inv = 1.0 / jnp.maximum(m.opt.impratio.astype(dtype),
+                                       MJ_MINVAL)
+      iw = iw * 2.0 * fri0 * fri0 * impratio_inv
+      iw = jnp.broadcast_to(iw[:, None], (k, nrow))
+      ref = jnp.broadcast_to(solref[:, None, :], (k, nrow, types.NREF))
+      pos_aref = jnp.broadcast_to(cpos[:, None], (k, nrow))
+
+    Jqvel = jnp.einsum('krK,kK->kr', Jrows, qvel_pad[idxK])
+    D, aref, posv = _row_values(
+        m, pos_aref, cpos[:, None], iw, ref,
+        jnp.broadcast_to(solimp[:, None, :], (k, nrow, types.NIMP)),
+        margin[:, None], Jqvel, dtype)
+    adr = (m.con_efc_address[idx_][:, None] + np.arange(nrow)).reshape(-1)
+    act = jnp.broadcast_to(active[:, None], (k, nrow)).reshape(-1)
+    rows.set_compact(
+        adr, Jrows.reshape(-1, Jrows.shape[-1]),
+        jnp.repeat(idxK, nrow, axis=0), posv.reshape(-1),
+        jnp.broadcast_to(margin[:, None], (k, nrow)).reshape(-1),
+        D.reshape(-1), aref.reshape(-1), None, act)
+
+
 def _contact(m, d, rows, dtype):
   """Contact rows (reference: _efc_contact_jac_dense:3743 +
   _efc_contact_update:4189)."""
   if not m.ncon:
     return
+  if m.efc_compact:
+    return _contact_compact(m, d, rows, dtype)
   con = d.contact
   is_elliptic = m.opt.cone == types.ConeType.ELLIPTIC
   impratio_inv = 1.0 / jnp.maximum(m.opt.impratio.astype(dtype), MJ_MINVAL)
@@ -651,7 +794,8 @@ def make_constraint(m: types.Model, d: types.Data) -> types.Data:
 
   if m.nefc == 0 or (dsbl & types.DisableBit.CONSTRAINT):
     return d.replace(
-        efc_J=rows.J, efc_pos=rows.pos, efc_margin=rows.margin,
+        efc_J=rows.J, efc_Jidx=rows.Jidx, efc_pos=rows.pos,
+        efc_margin=rows.margin,
         efc_D=rows.D, efc_aref=rows.aref,
         efc_frictionloss=rows.frictionloss, efc_active=rows.active,
         ne_active=jnp.zeros((), jnp.int32),
@@ -681,7 +825,8 @@ def make_constraint(m: types.Model, d: types.Data) -> types.Data:
   nefc_active = i32(jnp.sum(act))
 
   return d.replace(
-      efc_J=rows.J, efc_pos=rows.pos, efc_margin=rows.margin,
+      efc_J=rows.J, efc_Jidx=rows.Jidx, efc_pos=rows.pos,
+      efc_margin=rows.margin,
       efc_D=rows.D, efc_aref=rows.aref,
       efc_frictionloss=rows.frictionloss, efc_active=act,
       ne_active=ne_active, nf_active=nf_active, nl_active=nl_active,

@@ -542,10 +542,13 @@ def euler(m: types.Model, d: types.Data) -> types.Data:
       m.dof_damping, lambda a: bool(np.any(a > 0)), True):
     dtype = d.qpos.dtype
     dt = m.opt.timestep.astype(dtype)
-    M = d.qM + jnp.diag(dt * m.dof_damping)
-    L = jax.scipy.linalg.cholesky(M, lower=True)
-    rhs = d.qM @ d.qacc
-    qacc = math.chol_solve(L, rhs)
+    rhs = smooth.mul_m(m, d, d.qacc)
+    if m.m_blocked:
+      qacc = smooth.solve_m_damped(m, d, rhs, dt)
+    else:
+      M = d.qM + jnp.diag(dt * m.dof_damping)
+      L = jax.scipy.linalg.cholesky(M, lower=True)
+      qacc = math.chol_solve(L, rhs)
     return _advance(m, d, qacc)
   return _advance(m, d, d.qacc)
 

@@ -37,7 +37,7 @@ def _discrete_acc(m: types.Model, d: types.Data) -> jax.Array:
     if damped and types.concrete_or(
         m.dof_damping, lambda a: bool(np.any(a > 0)), True):
       # qacc_continuous = M^-1 (M + dt·diag(damping)) qacc_discrete
-      rhs = (d.qM + jnp.diag(dt * m.dof_damping)) @ d.qacc
+      rhs = smooth.mul_m(m, d, d.qacc) + dt * m.dof_damping * d.qacc
       return smooth.solve_m(m, d, rhs)
     return d.qacc
   # implicit(fast): qacc_cont = M^-1 (M - dt·qDeriv) qacc_disc
@@ -62,14 +62,14 @@ def inverse(m: types.Model, d: types.Data) -> types.Data:
     dtype = d.qpos.dtype
     mu_scale = 1.0 / jnp.sqrt(jnp.maximum(m.opt.impratio.astype(dtype),
                                           1e-15))
-    Jaref = d.efc_J @ qacc - d.efc_aref
+    Jaref = jsolver._j_mul(m, d, qacc) - d.efc_aref
     force, _, _ = jsolver._update_constraint(m, d, st, Jaref, mu_scale)
-    qfrc_constraint = d.efc_J.T @ force
+    qfrc_constraint = jsolver._jt_mul(m, d, force)
     d = d.replace(efc_force=force, qfrc_constraint=qfrc_constraint)
   else:
     qfrc_constraint = jnp.zeros_like(d.qvel)
     d = d.replace(qfrc_constraint=qfrc_constraint)
 
-  qfrc_inverse = (d.qM @ qacc + d.qfrc_bias - d.qfrc_passive -
+  qfrc_inverse = (smooth.mul_m(m, d, qacc) + d.qfrc_bias - d.qfrc_passive -
                   qfrc_constraint)
   return d.replace(qfrc_inverse=qfrc_inverse)

@@ -791,7 +791,8 @@ def _energy_pos_value(m: types.Model, d: types.Data):
 
 def _energy_vel_value(m: types.Model, d: types.Data):
   """Kinetic energy 0.5 vᵀMv (sensor.py:2997)."""
-  return 0.5 * jnp.dot(d.qvel, d.qM @ d.qvel)
+  from mujoco_warp_tpu.ops import smooth
+  return 0.5 * jnp.dot(d.qvel, smooth.mul_m(m, d, d.qvel))
 
 
 def energy_pos(m: types.Model, d: types.Data) -> types.Data:

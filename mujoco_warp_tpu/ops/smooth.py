@@ -109,7 +109,10 @@ def kinematics(m: types.Model, d: types.Data) -> types.Data:
   xipos = xpos + math.rot_vec_quat(m.body_ipos, xquat)
   ximat = math.quat_to_mat(math.mul_quat(xquat, m.body_iquat))
 
-  gb = m.geom_bodyid
+  # real geoms only: geom_bodyid is flex-extended (pseudo vertex spheres,
+  # ids >= ngeom) but pose tables stay (ngeom,); the collision driver
+  # appends vertex poses from flexvert_xpos at narrowphase time
+  gb = m.geom_bodyid[:m.ngeom]
   geom_xpos = xpos[gb] + math.rot_vec_quat(m.geom_pos, xquat[gb])
   geom_xmat = math.quat_to_mat(math.mul_quat(xquat[gb], m.geom_quat))
   if m.nsite:
@@ -260,17 +263,34 @@ def camlight(m: types.Model, d: types.Data) -> types.Data:
 
 
 def crb(m: types.Model, d: types.Data) -> types.Data:
-  """Composite rigid body inertia → dense mass matrix (smooth.py:1080).
+  """Composite rigid body inertia → mass matrix (smooth.py:1080).
 
   crb[i] = Σ_{j ∈ subtree(i)} cinert[j] — a matmul against the subtree mask.
   M[i, j] = cdof_j · (crb[body_i] cdof_i) on ancestor pairs — dense matmul
   masked by the static ancestor mask, then symmetrized.  MXU-shaped.
+
+  With ``m.m_blocked`` the mass matrix is built as per-tree blocks
+  (``qM_blk``) instead of dense (nv, nv): the dense build is O(nv²) and
+  its factor O(nv³), which detonates on particle systems (cloth: 900
+  independent 3-dof trees → block work is O(ntree·w³)).  Reference
+  analog: per-tree M-block layout io.py:191-241.
   """
   dtype = d.qpos.dtype
   sub = jnp.asarray(m.tree.subtree_mask, dtype)
   crb_ = (sub @ d.cinert.reshape(m.nbody, 36)).reshape(m.nbody, 6, 6)
 
   f = jnp.einsum('vij,vj->vi', crb_[m.dof_bodyid], d.cdof)
+  if m.m_blocked:
+    blks = []
+    for w, rows, ancm in m.tree.block_classes:
+      cd = d.cdof[rows]  # (t, w, 6)
+      fc = f[rows]
+      low = jnp.einsum('twi,tvi->twv', fc, cd) * jnp.asarray(ancm, dtype)
+      eye = jnp.eye(w, dtype=bool)
+      Mb = low + jnp.swapaxes(low, 1, 2) - jnp.where(eye, low, 0.0)
+      Mb = Mb + jnp.eye(w, dtype=dtype) * m.dof_armature[rows][:, :, None]
+      blks.append(Mb)
+    return d.replace(crb=crb_, qM_blk=tuple(blks))
   mask = jnp.asarray(m.tree.ancestor_mask, dtype)  # [i,j]: j anc-or-self of i
   lower = (f @ d.cdof.T) * mask
   qM = lower + lower.T - jnp.diag(jnp.diag(lower))
@@ -280,13 +300,61 @@ def crb(m: types.Model, d: types.Data) -> types.Data:
 
 def factor_m(m: types.Model, d: types.Data) -> types.Data:
   """Cholesky factorization of the mass matrix (reference: smooth.py:1341)."""
+  if m.m_blocked:
+    return d.replace(qLD_blk=tuple(
+        jnp.linalg.cholesky(Mb) for Mb in d.qM_blk))
   qLD = jax.scipy.linalg.cholesky(d.qM, lower=True)
   return d.replace(qLD=qLD)
 
 
 def solve_m(m: types.Model, d: types.Data, x: jax.Array) -> jax.Array:
   """Solve M y = x using the dense factor (reference: smooth.py:3212)."""
+  if m.m_blocked:
+    y = jnp.zeros((m.nv,), x.dtype)
+    for Lb, (w, rows, _) in zip(d.qLD_blk, m.tree.block_classes):
+      sol = jax.vmap(math.chol_solve)(Lb, x[rows])
+      y = y.at[rows.reshape(-1)].set(sol.reshape(-1))
+    return y
   return math.chol_solve(d.qLD, x)
+
+
+def mul_m(m: types.Model, d: types.Data, x: jax.Array) -> jax.Array:
+  """M @ x under either mass-matrix representation (support.py:218)."""
+  if m.m_blocked:
+    y = jnp.zeros((m.nv,), x.dtype)
+    for Mb, (w, rows, _) in zip(d.qM_blk, m.tree.block_classes):
+      y = y.at[rows.reshape(-1)].set(
+          jnp.einsum('twv,tv->tw', Mb, x[rows]).reshape(-1))
+    return y
+  return d.qM @ x
+
+
+def solve_m_damped(m: types.Model, d: types.Data, rhs: jax.Array,
+                   dt) -> jax.Array:
+  """Solve (M + dt·diag(damping)) y = rhs (Euler implicit damping).
+
+  Dense callers factor inline (forward.euler); this is the blocked-mode
+  entry — per-tree block factor of the damped blocks.
+  """
+  assert m.m_blocked
+  y = jnp.zeros((m.nv,), rhs.dtype)
+  for Mb, (w, rows, _) in zip(d.qM_blk, m.tree.block_classes):
+    damp = m.dof_damping[rows]  # (t, w)
+    Md = Mb + jnp.eye(w, dtype=Mb.dtype) * (dt * damp)[:, :, None]
+    L = jnp.linalg.cholesky(Md)
+    sol = jax.vmap(math.chol_solve)(L, rhs[rows])
+    y = y.at[rows.reshape(-1)].set(sol.reshape(-1))
+  return y
+
+
+def dense_m(m: types.Model, d: types.Data) -> jax.Array:
+  """Scatter qM_blk into a dense (nv, nv) matrix (cold paths only)."""
+  if not m.m_blocked:
+    return d.qM
+  M = jnp.zeros((m.nv, m.nv), d.qpos.dtype)
+  for Mb, (w, rows, _) in zip(d.qM_blk, m.tree.block_classes):
+    M = M.at[rows[:, :, None], rows[:, None, :]].set(Mb)
+  return M
 
 
 def com_vel(m: types.Model, d: types.Data) -> types.Data:
@@ -892,6 +960,10 @@ def tendon_armature(m: types.Model, d: types.Data) -> types.Data:
   M += ten_J^T diag(armature) ten_J."""
   if not _has_tendon_armature(m):
     return d
+  if m.m_blocked:
+    raise NotImplementedError(
+        'tendon armature couples trees; the blocked mass matrix cannot '
+        'hold it (put_model(m_blocked=False))')
   A = m.tendon_armature[:, None] * d.ten_J  # (ntendon, nv)
   return d.replace(qM=d.qM + d.ten_J.T @ A)
 

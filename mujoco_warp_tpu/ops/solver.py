@@ -34,6 +34,26 @@ _CT = types.ConstraintType
 _MINVAL = 1e-15
 
 
+def _j_mul(m: types.Model, d: types.Data, x: jax.Array) -> jax.Array:
+  """J @ x under either Jacobian representation (dense or compact-chain:
+  per-row dof gathers, Model.efc_compact)."""
+  if m.efc_compact:
+    xp = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+    return jnp.sum(d.efc_J * xp[d.efc_Jidx], axis=-1)
+  return d.efc_J @ x
+
+
+def _jt_mul(m: types.Model, d: types.Data, f: jax.Array) -> jax.Array:
+  """Jᵀ @ f under either Jacobian representation (scatter-add on the
+  compact path; duplicate dof indices across chain halves accumulate)."""
+  if m.efc_compact:
+    out = jnp.zeros((m.nv + 1,), f.dtype)
+    out = out.at[d.efc_Jidx.reshape(-1)].add(
+        (d.efc_J * f[:, None]).reshape(-1))
+    return out[:m.nv]
+  return d.efc_J.T @ f
+
+
 class _Static(NamedTuple):
   """Static (trace-time) row classification tables."""
 
@@ -408,8 +428,8 @@ def _linesearch(m, d, st, qacc, Ma, Jaref, search, mu_scale):
   Returns (alpha, improvement).
   """
   dtype = qacc.dtype
-  jv = d.efc_J @ search
-  mv = d.qM @ search
+  jv = _j_mul(m, d, search)
+  mv = smooth.mul_m(m, d, search)
   g1 = jnp.dot(search, Ma - d.qfrc_smooth)
   g2 = 0.5 * jnp.dot(search, mv)
   quad_gauss = (g1, g2)
@@ -548,9 +568,11 @@ def _make_chol_solve(m):
 
 def _gradient(m, d, st, Ma, force, state, Jaref, mu_scale):
   """grad/Mgrad (reference: _update_gradient:3100)."""
-  qfrc_constraint = d.efc_J.T @ force
+  qfrc_constraint = _jt_mul(m, d, force)
   grad = Ma - d.qfrc_smooth - qfrc_constraint
   if m.opt.solver == types.SolverType.NEWTON:
+    assert not (m.efc_compact or m.m_blocked), (
+        'Newton needs the dense H; compact/blocked modes are CG-only')
     Dq = d.efc_D * (state == _QUADRATIC)
     H = d.qM + (d.efc_J.T * Dq) @ d.efc_J
     if m.opt.cone == types.ConeType.ELLIPTIC:
@@ -599,8 +621,8 @@ def solve(m: types.Model, d: types.Data) -> types.Data:
   else:
     qacc = d.qacc_warmstart
 
-  Jaref = d.efc_J @ qacc - d.efc_aref
-  Ma = d.qM @ qacc
+  Jaref = _j_mul(m, d, qacc) - d.efc_aref
+  Ma = smooth.mul_m(m, d, qacc)
   force, state, _ = _update_constraint(m, d, st, Jaref, mu_scale)
   grad, Mgrad, _ = _gradient(m, d, st, Ma, force, state, Jaref, mu_scale)
   search = -Mgrad
@@ -657,7 +679,7 @@ def solve(m: types.Model, d: types.Data) -> types.Data:
 
   carry = jax.lax.while_loop(lambda c: ~c.done, body, carry)
 
-  qfrc_constraint = d.efc_J.T @ carry.force
+  qfrc_constraint = _jt_mul(m, d, carry.force)
   # overflow accounting (reference OverflowType + solver_niter buckets,
   # testspeed.py:266-278): a world that exhausted opt.iterations without
   # meeting any tolerance gets the SOLVER bit

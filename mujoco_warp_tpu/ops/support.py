@@ -37,8 +37,10 @@ def jac_site(m: types.Model, d: types.Data, siteid: int):
 
 
 def mul_m(m: types.Model, d: types.Data, vec: jax.Array) -> jax.Array:
-  """Dense M @ vec (reference: support.py:218 `mul_m`)."""
-  return d.qM @ vec
+  """M @ vec under either mass representation (reference: support.py:218
+  `mul_m`)."""
+  from mujoco_warp_tpu.ops import smooth
+  return smooth.mul_m(m, d, vec)
 
 
 def xfrc_accumulate(m: types.Model, d: types.Data) -> jax.Array:

@@ -41,6 +41,8 @@ def _big(nv: int) -> bool:
 
 
 def supported(m: types.Model, d: types.Data) -> bool:
+  if m.m_blocked:  # no dense qM/qLD exists under the blocked mass matrix
+    return False
   if d.qpos.ndim != 2 or d.qpos.shape[0] % TILE_W != 0:
     return False
   if jax.default_backend() == 'cpu':

@@ -29,6 +29,8 @@ def supported(m: types.Model, d: types.Data) -> bool:
   from mujoco_warp_tpu.ops import smooth as osmooth
   if osmooth._has_tendon_armature(m):
     return False
+  if m.m_blocked:  # blocked mass matrix has no dense qM/qLD to produce
+    return False
   if d.qpos.ndim != 2 or d.qpos.shape[0] % TILE_W != 0:
     return False
   if jax.default_backend() == 'cpu':

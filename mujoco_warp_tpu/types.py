@@ -398,6 +398,12 @@ class TreeInfo:
   dof_subtree_mask: np.ndarray = field(static=True, default=None)
   # (nv, nv) bool: dofs whose velocity precedes dof i (for cdof_dot)
   cdofdot_mask: np.ndarray = field(static=True, default=None)
+  # tree-blocked mass-matrix classes (the TPU analog of the reference's
+  # per-tree M-block layout, io.py:191-241): tuple of
+  # (width, dofadr (ntree_w, width) int32, anc (ntree_w, width, width) bool)
+  # — one entry per distinct tree width; only populated when
+  # Model.m_blocked (many small independent trees, e.g. flex particles)
+  block_classes: Tuple[Any, ...] = field(static=True, default=())
 
 
 @pytree_dataclass
@@ -490,6 +496,22 @@ class Model:
   # (reference capacity knob analog: io.py:1316 `_default_nconmax`)
   con_classes: Tuple[Any, ...] = field(static=True, default=())
   con_compact: bool = field(static=True, default=False)
+  # tree-blocked mass matrix: M/LD live in Data.qM_blk/qLD_blk per-tree
+  # blocks instead of dense (nv, nv) — the TPU-native representation for
+  # particle systems (cloth: 900 independent 3-dof trees) where the dense
+  # O(nv^2) build + O(nv^3) factor would dominate (reference: per-tree
+  # M-block layout io.py:191-241 + scalar Cholesky smooth.py:1341)
+  m_blocked: bool = field(static=True, default=False)
+  # compact-chain constraint Jacobian: efc_J is (nefc, efc_K) values with
+  # per-row dof indices in Data.efc_Jidx instead of dense (nefc, nv) — for
+  # big-nv scenes where every row touches few dofs (flex edges: 6, vertex
+  # contacts: <= 2 chains).  CG-only (Newton needs the dense H).
+  # Reference analog: CSR sparse J (constraint.py jacobian=sparse)
+  efc_compact: bool = field(static=True, default=False)
+  efc_K: int = field(static=True, default=0)
+  # (nbody, chain_K) int32 ancestor-chain dof ids per body, padded with nv
+  body_chain: np.ndarray = field(static=True, default=None)
+  chain_K: int = field(static=True, default=0)
 
   opt: Option = None
   stat: Statistic = None
@@ -819,8 +841,12 @@ class Data:
   cinert: Array = None  # (nbody, 6, 6) spatial inertia in com-rooted frame
   cdof: Array = None  # (nv, 6)
   crb: Array = None  # (nbody, 6, 6) composite rigid body inertia
-  qM: Array = None  # (nv, nv) dense mass matrix
+  qM: Array = None  # (nv, nv) dense mass matrix ((0, 0) when m_blocked)
   qLD: Array = None  # (nv, nv) dense Cholesky factor (lower)
+  # tree-blocked mass matrix (Model.m_blocked): one (ntree_w, w, w) array
+  # per width class in TreeInfo.block_classes order; empty in dense mode
+  qM_blk: Tuple[Array, ...] = ()
+  qLD_blk: Tuple[Array, ...] = ()
   ten_length: Array = None  # (ntendon,)
   ten_J: Array = None  # (ntendon, nv)
   actuator_length: Array = None  # (nu,)
@@ -853,7 +879,9 @@ class Data:
 
   # ------------------------------------------------------------- constraint
   contact: Contact = None
-  efc_J: Array = None  # (nefc, nv)
+  efc_J: Array = None  # (nefc, nv); (nefc, efc_K) values when efc_compact
+  efc_Jidx: Array = None  # (nefc, efc_K) int32 dof ids (pad = nv); (0, 0)
+  # in dense mode
   efc_pos: Array = None  # (nefc,)
   efc_margin: Array = None  # (nefc,)
   efc_frictionloss: Array = None  # (nefc,)
