@@ -29,6 +29,11 @@ _EPS = 1e-12
 
 _DISCOVER_ITERS = 16
 _REFINE_ITERS = 30
+# EPA-analog normal polish: pattern-search iterations on the two tangent
+# angles and the initial / per-iteration cone shrink (radians)
+_POLISH_ITERS = 14
+_POLISH_SIGMA0 = 0.3
+_POLISH_SHRINK = 0.62
 
 CONVEX_TYPES = (int(_GT.SPHERE), int(_GT.CAPSULE), int(_GT.ELLIPSOID),
                 int(_GT.CYLINDER), int(_GT.BOX), int(_GT.MESH))
@@ -258,6 +263,52 @@ def mpr(t1: int, t2: int, pos1, mat1, size1, pos2, mat2, size2,
   nrm = nrm * sgn
   depth = dot(nrm, v1)
 
+  # phase 3 (EPA analog): polish the normal by minimizing the CSO
+  # support h(u) = u·S(u).  The exact penetration depth is min over unit
+  # u of h(u) — what the reference's EPA computes by expanding a polytope
+  # toward the surface (collision_gjk.py:2408).  Here: a fixed-iteration
+  # pattern search over the two tangent angles around the MPR seed, with
+  # a geometrically shrinking probe cone — every trial is one batched
+  # support call, keep-best semantics, no data-dependent control flow.
+  # h(u) ≥ depth for every u, so the polished value can only improve
+  # (decrease) toward the true depth; normals converge with it.
+  def _tangents(u):
+    ref = jnp.where((jnp.abs(u[:, 2:3]) < 0.9),
+                    jnp.asarray([0.0, 0.0, 1.0], dtype)[None],
+                    jnp.asarray([1.0, 0.0, 0.0], dtype)[None])
+    t1_ = jnp.cross(ref, u)
+    t1_ = t1_ / jnp.maximum(
+        jnp.linalg.norm(t1_, axis=-1, keepdims=True), _EPS)
+    return t1_, jnp.cross(u, t1_)
+
+  w0, pa0, pb0 = sup(nrm)
+  carry = (nrm, dot(nrm, w0), pa0, pb0)
+
+  def polish(i, carry):
+    u, h, pa, pb = carry
+    t1_, t2_ = _tangents(u)
+    sig = _POLISH_SIGMA0 * _POLISH_SHRINK ** i
+    for du in (t1_, -t1_, t2_, -t2_):
+      ut = u + sig * du
+      ut = ut / jnp.maximum(jnp.linalg.norm(ut, axis=-1, keepdims=True),
+                            _EPS)
+      wt, pat, pbt = sup(ut)
+      ht = dot(ut, wt)
+      better = (ht < h)[:, None]
+      u = jnp.where(better, ut, u)
+      pa = jnp.where(better, pat, pa)
+      pb = jnp.where(better, pbt, pb)
+      h = jnp.minimum(ht, h)
+    return u, h, pa, pb
+
+  u_p, h_p, pa_p, pb_p = jax.lax.fori_loop(0, _POLISH_ITERS, polish, carry)
+  # adopt the polished answer wherever a portal exists: h_p is a valid
+  # (near-tight) upper bound on the true depth, while the portal-plane
+  # distance is a chord-plane estimate that can cut below the surface
+  # and under-report depth
+  nrm = jnp.where(hit[:, None], u_p, nrm)
+  depth = jnp.where(hit, h_p, depth)
+
   # witness point: barycentric coords of the origin-ray/portal crossing
   def tri_weights(p, q, r):
     n_ = jnp.cross(q - p, r - p)
@@ -276,6 +327,20 @@ def mpr(t1: int, t2: int, pos1, mat1, size1, pos2, mat2, size2,
   pa = w1[:, None] * a1 + w2[:, None] * a2 + w3[:, None] * a3
   pb = w1[:, None] * b1 + w2[:, None] * b2 + w3[:, None] * b3
   point = 0.5 * (pa + pb)
+  # polished witness: at the optimal direction pa−pb ∥ u for strictly
+  # convex shapes, so anchoring at a curved side's support point and
+  # stepping half the depth along u gives the surface midpoint; a flat
+  # side's support can be a tie-broken face corner (laterally wrong), so
+  # anchor on whichever side is curved; flat-flat pairs keep the portal
+  # barycentric point (their k=4 manifold recomputes positions anyway)
+  _curved = (_GT.SPHERE, _GT.CAPSULE, _GT.ELLIPSOID)
+  if t1 in _curved:
+    wit = pa_p - 0.5 * h_p[:, None] * u_p
+  elif t2 in _curved:
+    wit = pb_p + 0.5 * h_p[:, None] * u_p
+  else:
+    wit = point
+  point = jnp.where(hit[:, None], wit, point)
 
   return hit & (depth >= 0), depth, nrm, point
 

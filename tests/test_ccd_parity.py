@@ -100,8 +100,11 @@ def test_shallow_overlap(name, geom):
   print(f'{name} shallow: n={checked} depth err mean '
         f'{derr.mean():.4f} max {derr.max():.4f}; normal err mean '
         f'{nerr.mean():.3f} max {nerr.max():.3f}')
-  assert np.median(derr) < 5e-3, f'{name} median depth err {np.median(derr)}'
-  assert np.median(nerr) < 0.45, f'{name} median normal err {np.median(nerr)}'
+  # post EPA-analog polish (collision_convex.mpr phase 3): sub-mm depth
+  # parity with the C oracle's GJK/EPA
+  assert derr.mean() < 1e-3, f'{name} mean depth err {derr.mean()}'
+  assert np.median(derr) < 2e-4, f'{name} median depth err {np.median(derr)}'
+  assert np.median(nerr) < 0.05, f'{name} median normal err {np.median(nerr)}'
 
 
 @pytest.mark.parametrize('name,geom', CASES[:3])
@@ -130,5 +133,5 @@ def test_deep_overlap_recovery(name, geom):
     if act.any() and float(dist[act].min()) < 0:
       found += 1
   assert total >= 5, f'{name}: only {total} deep poses'
-  # MPR recovers penetration on at least 90% of deep overlaps
-  assert found >= 0.9 * total, f'{name}: {found}/{total} deep recoveries'
+  # MPR + polish recovers penetration on every deep overlap
+  assert found == total, f'{name}: {found}/{total} deep recoveries'
