@@ -433,6 +433,68 @@ def _detect_compact(mjm: mujoco.MjModel, lay: types.EfcLayout,
   return True
 
 
+def _tactile_specs(mjm: mujoco.MjModel, pairs) -> Tuple:
+  """Static per-TACTILE-sensor tables (reference: taxel tables
+  io.py:943-952 + `_sensor_tactile` sensor.py:2181).
+
+  The reference gathers the geoms contacting the sensor's parent weld
+  from the runtime contact list; here the candidate 'other' geoms come
+  from the static filtered pair table (any real geom paired against a
+  geom of the parent weld), and the runtime active-contact gate is
+  applied per candidate on device.
+  """
+  tact = np.nonzero(mjm.sensor_type ==
+                    int(mujoco.mjtSensor.mjSENS_TACTILE))[0]
+  if not len(tact):
+    return ()
+  weld = mjm.body_weldid
+  g1 = np.asarray(pairs.pair_geom1)
+  g2 = np.asarray(pairs.pair_geom2)
+  real = (g1 < mjm.ngeom) & (g2 < mjm.ngeom)  # exclude flex pseudo geoms
+  w1 = weld[mjm.geom_bodyid[np.minimum(g1, mjm.ngeom - 1)]]
+  w2 = weld[mjm.geom_bodyid[np.minimum(g2, mjm.ngeom - 1)]]
+  specs = []
+  for s in tact:
+    mid = int(mjm.sensor_objid[s])
+    gid = int(mjm.sensor_refid[s])
+    pweld = int(weld[mjm.geom_bodyid[gid]])
+    nvert = int(mjm.mesh_vertnum[mid])
+    vadr = int(mjm.mesh_vertadr[mid])
+    verts = mjm.mesh_vert[vadr:vadr + nvert].copy()
+    # per-taxel frame rows [normal, tang1, tang2]; meshes compiled with
+    # full frames carry 3 normals per vertex (reference sensor.py:2244).
+    # C-oracle quirk (verified by qvel finite differences): the tangents
+    # are rotated by the static mesh_quat ONLY — they do NOT follow the
+    # body's world orientation (reference sensor.py:2244-2249 does the
+    # same) — so the rotation is baked here and none is applied at
+    # runtime.
+    nadr = int(mjm.mesh_normaladr[mid])
+    nnum = int(mjm.mesh_normalnum[mid])
+    has_frame = nnum == 3 * nvert
+    frame = np.zeros((nvert, 3, 3), np.float64)
+    stride = 3 if has_frame else 1
+    mq = mjm.mesh_quat[mid]
+    w, x, y, z = mq
+    mrot = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+    for v in range(nvert):
+      frame[v, 0] = mrot @ mjm.mesh_normal[nadr + stride * v]
+      if has_frame:
+        frame[v, 1] = mrot @ mjm.mesh_normal[nadr + stride * v + 1]
+        frame[v, 2] = mrot @ mjm.mesh_normal[nadr + stride * v + 2]
+    # candidate contacting geoms from the static pair table
+    cands = np.unique(np.concatenate([
+        g2[real & (w1 == pweld) & (w2 != pweld)],
+        g1[real & (w2 == pweld) & (w1 != pweld)]])).astype(np.int32)
+    specs.append((int(mjm.sensor_adr[s]), gid, pweld, verts, frame,
+                  has_frame, cands,
+                  tuple(int(mjm.geom_type[c]) for c in cands)))
+  return tuple(specs)
+
+
 def put_model(mjm: mujoco.MjModel, dtype=np.float32,
               nconmax: Optional[int] = None,
               bp_cap: Optional[int] = None,
@@ -537,6 +599,7 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
   efc_K = max(6, 2 * chain_k) if efc_compact else 0
 
   flex_fields = _flex_fields(mjm, dtype)
+  tactile_specs = _tactile_specs(mjm, pairs)
 
   # geoms of type SDF resolve their signed-distance function from the
   # plugin registry: instance name -> callable (or registry key string).
@@ -574,6 +637,7 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
       m_blocked=bool(m_blocked), efc_compact=bool(efc_compact),
       efc_K=efc_K, body_chain=body_chain, chain_K=chain_k,
       geom_sdf_fn=geom_sdf_fn,
+      tactile_specs=tactile_specs,
       **flex_fields,
       con_classes=con_classes, con_compact=con_compact, con_dim=slot_dim,
       opt=opt, stat=stat, tree=tree, efc=efc_layout,

@@ -70,8 +70,16 @@ def sdf_primitive(gtype: int, p, size):
   if gtype == _GT.BOX:
     q = jnp.abs(p) - size
     out = _snorm(jnp.maximum(q, 0.0))
-    inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
-    return out + inside
+    # interior: MuJoCo's radial-field distance (mjc_distance box
+    # convention, reference collision_sdf.py:164-172): the field points
+    # along f = normalize(-size/a) and the distance is -min_i(-a_i/|f_i|)
+    # — deeper than the max-face distance away from face centers, giving
+    # center-seeking gradients (and matching the C tactile/SDF oracle)
+    f = size / jnp.maximum(-q, 1e-12)
+    f = f / _snorm(f)[..., None]
+    d_in = -jnp.min(-q / jnp.maximum(f, 1e-12), axis=-1)
+    inside = jnp.all(q < 0, axis=-1)
+    return jnp.where(inside, d_in, out)
   if gtype == _GT.ELLIPSOID:
     # scaled-space approximation (exact near the surface)
     k0 = _snorm(p / jnp.maximum(size, 1e-12))

@@ -635,6 +635,76 @@ def _contact_sensor(m: types.Model, d: types.Data, sd, ids):
   return sd
 
 
+def _sensor_tactile(m: types.Model, d: types.Data, sd):
+  """Tactile (taxel) sensors (reference: sensor.py:2181 _sensor_tactile).
+
+  Per taxel vertex of the sensor mesh: channel 0 = max penetration depth
+  of the taxel inside any geom in active contact with the sensor's
+  parent weld (SDF query), channels 1/2 = summed |relative velocity|
+  along the taxel tangents.  Candidate geoms are static (pair table);
+  the active-contact gate is evaluated on device from the contact slots.
+  """
+  from mujoco_warp_tpu.ops import collision_sdf
+  dtype = sd.dtype
+  gb = jnp.asarray(m.geom_bodyid)  # flex-extended
+  weldv = jnp.asarray(m.body_weldid)
+  con = d.contact
+  if m.ncon:
+    cw1 = weldv[gb[con.geom1]]
+    cw2 = weldv[gb[con.geom2]]
+    con_active = con.dist < con.includemargin
+  for (adr, gid, pweld, verts, frame, has_frame, cands, ctypes) in \
+      m.tactile_specs:
+    nvert = verts.shape[0]
+    if not len(cands):
+      continue
+    xmat = d.geom_xmat[gid]
+    xpos_t = d.geom_xpos[gid][None] + jnp.asarray(verts, dtype) @ xmat.T
+    # C-oracle convention: the taxel tangent frame is mesh_quat-rotated
+    # at model build and does NOT follow the body's world orientation
+    # (see io._tactile_specs); frame is used as-is
+    fr_w = jnp.asarray(frame, dtype)
+    cvp = d.cvel[pweld]
+    vel_s = cvp[3:][None] + jnp.cross(
+        cvp[:3][None], xpos_t - d.subtree_com[m.body_rootid[pweld]][None])
+    ch0 = jnp.zeros((nvert,), dtype)
+    ch1 = jnp.zeros((nvert,), dtype)
+    ch2 = jnp.zeros((nvert,), dtype)
+    for c, ct in zip(cands, ctypes):
+      c = int(c)
+      # gate: candidate has an active contact against the parent weld
+      if m.ncon:
+        gate = jnp.any(con_active &
+                       (((cw1 == pweld) & (con.geom2 == c)) |
+                        ((cw2 == pweld) & (con.geom1 == c))))
+      else:
+        gate = jnp.asarray(True)
+      lpos = jnp.einsum('ij,vi->vj', d.geom_xmat[c],
+                        xpos_t - d.geom_xpos[c][None])
+      fn = m.geom_sdf_fn[c] if len(m.geom_sdf_fn) > c else None
+      if fn is not None:
+        sdfv = fn(lpos, m.geom_size[c])
+      else:
+        sdfv = collision_sdf.sdf_primitive(ct, lpos, m.geom_size[c][None])
+      depth = jnp.minimum(sdfv, 0.0)
+      touching = (depth < 0.0) & gate
+      bc = int(m.geom_bodyid[c])
+      cvc = d.cvel[bc]
+      vel_o = cvc[3:] + jnp.cross(
+          cvc[:3], d.geom_xpos[c] - d.subtree_com[m.body_rootid[bc]])
+      vrel = vel_s - vel_o[None]
+      ch0 = jnp.maximum(ch0, jnp.where(touching, -depth, 0.0))
+      if has_frame:
+        ch1 = ch1 + jnp.where(
+            touching, jnp.abs(jnp.sum(vrel * fr_w[:, 1], -1)), 0.0)
+        ch2 = ch2 + jnp.where(
+            touching, jnp.abs(jnp.sum(vrel * fr_w[:, 2], -1)), 0.0)
+    sd = sd.at[adr:adr + nvert].set(ch0)
+    sd = sd.at[adr + nvert:adr + 2 * nvert].set(ch1)
+    sd = sd.at[adr + 2 * nvert:adr + 3 * nvert].set(ch2)
+  return sd
+
+
 def sensor_acc(m: types.Model, d: types.Data) -> types.Data:
   """Acceleration-stage sensors (reference: sensor.py:2507)."""
   if not m.nsensor or (m.opt.disableflags & types.DisableBit.SENSOR):
@@ -646,6 +716,8 @@ def sensor_acc(m: types.Model, d: types.Data) -> types.Data:
       _ST.JOINTLIMITFRC, _ST.TENDONLIMITFRC, _ST.FRAMELINACC,
       _ST.FRAMEANGACC, _ST.CONTACT,
   ])
+  if m.tactile_specs:
+    d = d.replace(sensordata=_sensor_tactile(m, d, d.sensordata))
   if not g:
     return _finish_acc(m, d)
   d = smooth.rne_postconstraint(m, d)

@@ -271,6 +271,7 @@ class SensorType(enum.IntEnum):
   E_POTENTIAL = 43
   E_KINETIC = 44
   CLOCK = 45
+  TACTILE = 46
 
 
 class OverflowType(enum.IntFlag):
@@ -621,6 +622,13 @@ class Model:
   geom_fluid: np.ndarray = field(static=True, default=None)  # (ngeom, 12)
   # per-geom SDF callable for geom type SDF (plugin SDFs), else None
   geom_sdf_fn: Tuple = field(static=True, default=())
+  # tactile (taxel) sensors: one static spec per TACTILE sensor —
+  # (sensordata adr, taxel geom id, parent weld body id,
+  #  verts (nvert, 3), frame (nvert, 3, 3) rows [n, t1, t2],
+  #  has_frame, cand geom ids (ncand,), cand geom types (ncand,))
+  # (reference: taxel_vertadr/taxel_sensorid types.py:1897 +
+  # sensor.py:2181 _sensor_tactile)
+  tactile_specs: Tuple = field(static=True, default=())
   geom_priority: np.ndarray = field(static=True, default=None)
   geom_solmix: Array = None  # (ngeom,)
   geom_solref: Array = None  # (ngeom, NREF)
