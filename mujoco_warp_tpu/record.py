@@ -53,9 +53,8 @@ def main(argv=None):
       if args.channel == 'rgb':
         frames.append(np.asarray(render.get_rgb(out)[0]))
       elif args.channel == 'depth':
-        dep = np.asarray(out[1][0])
-        dep = np.where(np.isfinite(dep), dep, np.nanmax(
-            np.where(np.isfinite(dep), dep, np.nan)))
+        dep = np.asarray(out[1][0])  # planar depth, 0 = background
+        dep = np.where(dep > 0, dep, dep.max())
         dep = (255 * (1 - dep / max(dep.max(), 1e-6))).astype(np.uint8)
         frames.append(np.stack([dep] * 3, -1))
       else:

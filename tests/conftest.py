@@ -15,6 +15,8 @@ if 'xla_force_host_platform_device_count' not in _flags:
   os.environ['XLA_FLAGS'] = (
       _flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# headless OpenGL for renderer-oracle tests (must precede mujoco import)
+os.environ.setdefault('MUJOCO_GL', 'egl')
 
 import jax  # noqa: E402
 
