@@ -600,6 +600,91 @@ def _wrap_2d_circle(end, side, radius, dtype):
   return jnp.where(no_wrap, -1.0, wlen), pnt0, pnt1
 
 
+def _wrap_2d_inside(end, radius, dtype, maxiter=20, zinit=1.0 - 1e-7,
+                    tol=1e-6):
+  """2D inside wrap (reference: util_misc.py:203 `wrap_inside`).
+
+  The sidesite lies inside the wrapping circle, so the tendon is pushed
+  against the circle from within and touches it at a single point (no
+  arc, wlen = 0).  The touch point solves
+  asin(A·z) + asin(B·z) − 2·asin(z) + G = 0 — here a fixed-iteration
+  masked Newton (the reference's early exits become freezes).  Returns
+  (wlen, pnt, pnt): wlen 0.0 on wrap, −1.0 on no wrap.
+  """
+  eps = 1e-15
+  end0 = end[0:2]
+  end1 = end[2:4]
+  len0 = jnp.linalg.norm(end0)
+  len1 = jnp.linalg.norm(end1)
+  dif = end1 - end0
+  dd = jnp.dot(dif, dif)
+
+  no_wrap = ((len0 <= radius) | (len1 <= radius) | (radius < eps) |
+             (len0 < eps) | (len1 < eps))
+  a = -jnp.dot(dif, end0) / jnp.maximum(dd, eps)
+  tmp = end0 + a * dif
+  no_wrap |= ((dd > eps) & (a > 0.0) & (a < 1.0) &
+              (jnp.linalg.norm(tmp) <= radius))
+
+  # default point in case of numerical failure: scaled average
+  pdef = 0.5 * (end0 + end1)
+  pdef = pdef / jnp.maximum(jnp.linalg.norm(pdef), eps) * radius
+
+  A = radius / jnp.maximum(len0, eps)
+  B = radius / jnp.maximum(len1, eps)
+  cosG = (len0 * len0 + len1 * len1 - dd) / \
+      jnp.maximum(2.0 * len0 * len1, eps)
+  no_wrap |= cosG < -1.0 + eps
+  use_default = cosG > 1.0 - eps
+  G = jnp.arccos(jnp.clip(cosG, -1.0, 1.0))
+
+  def feval(z):
+    return (jnp.arcsin(jnp.clip(A * z, -1.0, 1.0)) +
+            jnp.arcsin(jnp.clip(B * z, -1.0, 1.0)) -
+            2.0 * jnp.arcsin(jnp.clip(z, -1.0, 1.0)) + G)
+
+  z0 = jnp.asarray(zinit, dtype)
+  f0 = feval(z0)
+  use_default |= f0 > 0.0  # init on the wrong side
+
+  def newton(i, carry):
+    z, f, fail, done = carry
+    sq_z = z * z
+    df = (A / jnp.maximum(jnp.sqrt(jnp.maximum(1.0 - sq_z * A * A, 0.0)),
+                          eps) +
+          B / jnp.maximum(jnp.sqrt(jnp.maximum(1.0 - sq_z * B * B, 0.0)),
+                          eps) -
+          2.0 / jnp.maximum(jnp.sqrt(jnp.maximum(1.0 - sq_z, 0.0)), eps))
+    bad = df > -eps
+    z1 = z - f / jnp.where(bad, -1.0, df)
+    bad |= z1 > z
+    conv = jnp.abs(f) <= tol
+    zn = jnp.where(done | conv | bad, z, z1)
+    fn = feval(zn)
+    bad |= fn > tol
+    fail = fail | (bad & ~done & ~conv)
+    done = done | conv | bad
+    return zn, fn, fail, done
+
+  z, f, fail, done = jax.lax.fori_loop(
+      0, maxiter, newton, (z0, f0, jnp.asarray(False), jnp.asarray(False)))
+  use_default |= fail | (jnp.abs(f) > tol)
+
+  # rotate from end0 or end1 depending on the winding sign
+  cw = end[0] * end[3] - end[1] * end[2] > 0.0
+  vec = jnp.where(cw, end0, end1)
+  AB = jnp.where(cw, A, B)
+  ang = jnp.arcsin(jnp.clip(z, -1.0, 1.0)) - \
+      jnp.arcsin(jnp.clip(AB * z, -1.0, 1.0))
+  vec = vec / jnp.maximum(jnp.linalg.norm(vec), eps)
+  pnt = radius * jnp.stack(
+      [jnp.cos(ang) * vec[0] - jnp.sin(ang) * vec[1],
+       jnp.sin(ang) * vec[0] + jnp.cos(ang) * vec[1]])
+  pnt = jnp.where(use_default, pdef, pnt)
+  wlen = jnp.where(no_wrap, -1.0, 0.0)
+  return wlen, pnt, pnt
+
+
 def _wrap_geom(x0, x1, pos, mat, radius, is_sphere, side, dtype):
   """3D tendon wrap around a sphere/cylinder (util_misc.py:326 `wrap`).
 
@@ -633,6 +718,12 @@ def _wrap_geom(x0, x1, pos, mat, radius, is_sphere, side, dtype):
     sp = jnp.stack([jnp.dot(sidep, axis0), jnp.dot(sidep, axis1)])
     sp = sp / jnp.maximum(jnp.linalg.norm(sp), 1e-15) * radius
     wlen, pnt0, pnt1 = _wrap_2d_circle(end, sp, radius, dtype)
+    # sidesite inside the wrap geom: inside wrap (util_misc.py:421)
+    inside = jnp.linalg.norm(sidep) < radius
+    wlen_i, p0_i, p1_i = _wrap_2d_inside(end, radius, dtype)
+    wlen = jnp.where(inside, wlen_i, wlen)
+    pnt0 = jnp.where(inside, p0_i, pnt0)
+    pnt1 = jnp.where(inside, p1_i, pnt1)
   else:
     wlen, pnt0, pnt1 = _wrap_2d_circle(end, None, radius, dtype)
 

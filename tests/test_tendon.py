@@ -8,7 +8,7 @@ import mujoco
 import numpy as np
 import pytest
 
-from mujoco_warp_tpu import models
+from mujoco_warp_tpu import io, models
 from mujoco_warp_tpu.ops import forward as fwd
 from tests.oracle import assert_close
 
@@ -89,3 +89,47 @@ def test_tendon_trajectory(case):
   d = jax.block_until_ready(d)
   assert_close(d.qpos, mjd.qpos, 'spatial-tendon qpos@100', atol=2e-3,
                rtol=2e-3)
+
+
+def test_wrap_inside():
+  """Sidesite inside the wrap geom triggers the inside-wrap solver
+  (reference util_misc.py:203): tendon touches the circle from within.
+  Oracle: mj_forward ten_length over a sweep of poses."""
+  xml = """
+<mujoco>
+  <worldbody>
+    <site name="a" pos="-0.5 0 0.22"/>
+    <body pos="0 0 0">
+      <geom name="wrap" type="cylinder" size="0.2 0.3" euler="90 0 0"
+            contype="0" conaffinity="0"/>
+      <site name="inside" pos="0 0 0.1"/>
+    </body>
+    <body pos="0.5 0 0">
+      <joint name="h" type="slide" axis="0 0 1" range="-0.5 0.5"/>
+      <geom type="sphere" size="0.05" mass="1"/>
+      <site name="b" pos="0 0 0.22"/>
+    </body>
+  </worldbody>
+  <tendon>
+    <spatial name="t">
+      <site site="a"/>
+      <geom geom="wrap" sidesite="inside"/>
+      <site site="b"/>
+    </spatial>
+  </tendon>
+</mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = io.put_model(mjm)
+  fwd_pos = jax.jit(lambda dd: fwd.fwd_position(m, dd))
+  checked = 0
+  for q in np.linspace(-0.35, 0.35, 9):
+    mujoco.mj_resetData(mjm, mjd)
+    mjd.qpos[0] = q
+    mujoco.mj_forward(mjm, mjd)
+    d = io.put_data(mjm, mjd, m)
+    d = fwd_pos(d)
+    assert_close(d.ten_length, mjd.ten_length, f'ten_length q={q}',
+                 atol=1e-4, rtol=1e-4)
+    checked += 1
+  assert checked == 9
