@@ -612,6 +612,12 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
       if mjm.geom_type[g] != int(types.GeomType.SDF):
         fns.append(None)
         continue
+      if int(mjm.geom_plugin[g]) < 0:
+        # plugin-less SDF geom backed by a mesh: use the compiled octree
+        # (reference: collision_sdf.py:319 find_oct via get_sdf_params)
+        fns.append(collision_sdf.make_octree_sdf(mjm,
+                                                 int(mjm.geom_dataid[g])))
+        continue
       iname = mujoco.mj_id2name(mjm, mujoco.mjtObj.mjOBJ_PLUGIN,
                                 int(mjm.geom_plugin[g]))
       fn = (sdf_plugins or {}).get(iname)

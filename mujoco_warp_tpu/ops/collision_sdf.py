@@ -88,6 +88,74 @@ def sdf_primitive(gtype: int, p, size):
   raise NotImplementedError(f'SDF for geom type {gtype}')
 
 
+def make_octree_sdf(mjm, meshid: int):
+  """SDF of a mesh from its compiled octree (reference:
+  collision_sdf.py:319 `find_oct` + :430 `sample_volume_sdf`).
+
+  MuJoCo compiles meshes used as SDFs into an octree of trilinear SDF
+  coefficients (oct_aabb/oct_child/oct_coeff).  The reference descends
+  with a data-dependent while loop; here a fixed-depth masked descent
+  (depth = octree max depth, a static model constant) — each level is a
+  gather, so the query vectorizes over points and differentiates for
+  the SDF-collision gradient descent.
+
+  Returns ``fn(p, size)`` with the standard plugin-SDF signature.
+  """
+  import numpy as np
+  root = int(mjm.mesh_octadr[meshid])
+  n = int(mjm.mesh_octnum[meshid])
+  if root < 0 or n <= 0:
+    raise NotImplementedError(f'mesh {meshid} has no compiled octree')
+  child_np = np.asarray(mjm.oct_child[root:root + n], np.int32)
+  aabb_np = np.asarray(mjm.oct_aabb[root:root + n],
+                       np.float32).reshape(n, 2, 3)
+  coeff_np = np.asarray(mjm.oct_coeff[root:root + n], np.float32)
+  depth = int(np.asarray(mjm.oct_depth[root:root + n]).max()) + 1
+  child = jnp.asarray(child_np)
+  aabb = jnp.asarray(aabb_np)
+  coeff = jnp.asarray(coeff_np)
+  is_leaf_np = jnp.asarray(np.all(child_np == -1, axis=-1))
+
+  def fn(p, size):
+    del size  # mesh SDFs ignore geom_size (baked into vertices)
+    center, half = aabb[0, 0], aabb[0, 1]
+    # box_project (reference collision_sdf.py:392): distance to the root
+    # AABB plus a point clamped just inside it
+    r = p - center
+    q = jnp.abs(r) - half
+    dist0 = jnp.sqrt(jnp.sum(jnp.maximum(q, 0.0) ** 2, -1) + 1e-18)
+    dist0 = jnp.where(jnp.all(q <= 0.0, -1), 0.0, dist0)
+    shift = jnp.where(q >= 0.0, (q + 1e-4) * jnp.sign(r), 0.0)
+    point = p - shift
+
+    node = jnp.zeros(p.shape[:-1], jnp.int32)
+    # static unroll over octree levels (reverse-mode differentiable;
+    # depth is a small model constant)
+    pt = jax.lax.stop_gradient(point)
+    for _ in range(depth):
+      vmin = aabb[node, 0] - aabb[node, 1]
+      vmax = aabb[node, 0] + aabb[node, 1]
+      coord = (pt - vmin) / jnp.maximum(vmax - vmin, 1e-12)
+      k = ((coord[..., 0] >= 0.5).astype(jnp.int32) +
+           2 * (coord[..., 1] >= 0.5).astype(jnp.int32) +
+           4 * (coord[..., 2] >= 0.5).astype(jnp.int32))
+      nxt = jnp.take_along_axis(child[node], k[..., None], -1)[..., 0]
+      stay = is_leaf_np[node] | (nxt == -1)
+      node = jnp.where(stay, node, nxt)
+    vmin = aabb[node, 0] - aabb[node, 1]
+    vmax = aabb[node, 0] + aabb[node, 1]
+    coord = jnp.clip((point - vmin) / jnp.maximum(vmax - vmin, 1e-12),
+                     0.0, 1.0)
+    cx, cy, cz = coord[..., 0:1], coord[..., 1:2], coord[..., 2:3]
+    jbits = np.arange(8)
+    wx = jnp.where(jnp.asarray(jbits & 1, bool), cx, 1.0 - cx)
+    wy = jnp.where(jnp.asarray(jbits & 2, bool), cy, 1.0 - cy)
+    wz = jnp.where(jnp.asarray(jbits & 4, bool), cz, 1.0 - cz)
+    return dist0 + jnp.sum(wx * wy * wz * coeff[node], -1)
+
+  return fn
+
+
 def _world_sdf(gtype: int, pos, mat, size, x, fn=None):
   """SDF of a posed geom at world points x (..., 3); ``fn`` overrides
   the analytic primitive (plugin SDFs, geom type SDF)."""

@@ -4,6 +4,7 @@ Counterpart of reference test strategy for collision_sdf (SURVEY §4):
 analytic ground truth for primitive pairs.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -101,3 +102,61 @@ def test_sdf_dispatch_torus_drop():
   z = float(np.asarray(d.qpos)[2])
   assert abs(z - mjd.qpos[2]) < 5e-3, (z, mjd.qpos[2])
   assert np.all(np.isfinite(np.asarray(d.qpos)))
+
+
+_MBOX_SDF_XML = """
+<mujoco>
+  <asset><mesh name="mbox" vertex="
+    -0.1 -0.08 -0.06  0.1 -0.08 -0.06  0.1 0.08 -0.06  -0.1 0.08 -0.06
+    -0.1 -0.08 0.06  0.1 -0.08 0.06  0.1 0.08 0.06  -0.1 0.08 0.06"/>
+  </asset>
+  <worldbody>{body}</worldbody>
+</mujoco>"""
+
+
+def test_mesh_octree_sdf_values():
+  """The compiled-octree SDF (reference collision_sdf.py:319 find_oct)
+  matches the analytic box SDF in the mesh's compiled frame, with
+  finite autodiff gradients (the SDF-collision descent needs them)."""
+  import mujoco
+  mjm = mujoco.MjModel.from_xml_string(_MBOX_SDF_XML.format(
+      body='<body><geom type="sdf" mesh="mbox"/></body>'))
+  fn = collision_sdf.make_octree_sdf(mjm, 0)
+  rng = np.random.default_rng(0)
+  p = rng.uniform(-0.15, 0.15, (2048, 3)).astype(np.float32)
+  vals = np.asarray(jax.jit(lambda pp: fn(pp, None))(jnp.asarray(p)))
+  # compiled mesh frame reorients the box to (0.06, 0.08, 0.1)
+  vadr, vn = int(mjm.mesh_vertadr[0]), int(mjm.mesh_vertnum[0])
+  size = np.abs(mjm.mesh_vert[vadr:vadr + vn]).max(0)
+  q = np.abs(p) - size
+  exact = np.linalg.norm(np.maximum(q, 0), axis=-1) + \
+      np.minimum(q.max(-1), 0)
+  err = np.abs(vals - exact)
+  assert err.mean() < 2e-3, err.mean()
+  assert np.percentile(err, 95) < 6e-3
+  g = jax.jit(jax.vmap(jax.grad(lambda pp: fn(pp, None))))(
+      jnp.asarray(p[:128]))
+  assert np.isfinite(np.asarray(g)).all()
+
+
+def test_mesh_sdf_geom_drop():
+  """A sphere dropped on a plugin-less SDF geom (mesh octree) rests at
+  the C oracle height."""
+  import mujoco
+  from mujoco_warp_tpu import io
+  from mujoco_warp_tpu.ops import forward as fwd
+  body = ('<geom type="plane" size="2 2 .1"/>'
+          '<body pos="0 0 0.0601"><geom type="sdf" mesh="mbox"/></body>'
+          '<body pos="0.0 0 0.3"><freejoint/>'
+          '<geom type="sphere" size="0.05" mass="0.1"/></body>')
+  mjm = mujoco.MjModel.from_xml_string(_MBOX_SDF_XML.format(body=body))
+  mjd = mujoco.MjData(mjm)
+  m = io.put_model(mjm)
+  d = io.put_data(mjm, mjd, m)
+  step = jax.jit(lambda dd: fwd.step(m, dd))
+  for _ in range(400):
+    d = step(d)
+    mujoco.mj_step(mjm, mjd)
+  z = float(np.asarray(d.qpos)[2])
+  assert np.all(np.isfinite(np.asarray(d.qpos)))
+  assert abs(z - mjd.qpos[2]) < 1e-2, (z, mjd.qpos[2])
