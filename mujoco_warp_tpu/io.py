@@ -223,6 +223,12 @@ def _flex_fields(mjm: mujoco.MjModel, dtype) -> dict:
     return dict(nflex=0, nflexvert=0, nflexedge=0, nflexelem=0)
   if np.any(mjm.flex_interp != 0):
     raise NotImplementedError('interpolated (nodal) flexes not supported')
+  if np.any(mjm.flex_internal != 0):
+    # the reference raises identically (io.py:478): internal
+    # (vertex-vs-own-element) contacts are out of scope; author scenes
+    # with <contact internal="false"/>
+    raise NotImplementedError('flex internal collisions not supported '
+                              '(set <contact internal="false"/>)')
   if not np.all(mjm.flex_centered):
     raise NotImplementedError('non-centered flex vertices not supported')
   vert_dofadr = np.zeros(mjm.nflexvert, np.int32)
