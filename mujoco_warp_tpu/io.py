@@ -31,7 +31,12 @@ _JT = types.JointType
 def _jnp(x, dtype=np.float32):
   # convert dtype host-side: jnp.asarray of a ready numpy array is a pure
   # device_put, avoiding a per-shape XLA convert kernel in eager mode.
-  return jnp.asarray(np.asarray(x, dtype=dtype))
+  # copy=True is load-bearing: when dtypes already match (f64 models),
+  # np.asarray returns a VIEW of the caller's buffer and the CPU backend
+  # zero-copies it onto the device — a later in-place mutation of the
+  # source (e.g. mj_step on the MjData these fields came from) would
+  # silently corrupt the device array.
+  return jnp.asarray(np.array(x, dtype=dtype, copy=True))
 
 
 def _tree_info(mjm: mujoco.MjModel) -> types.TreeInfo:
@@ -524,8 +529,11 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
     raise NotImplementedError('PGS solver is not supported (use CG/Newton).')
   # C MuJoCo's default tolerance (1e-8) targets float64; in fp32 the solver
   # would burn its whole iteration budget bouncing around the optimum
-  # (reference: io.py:429 applies the same 1e-6 floor)
-  tolerance = max(float(mjm.opt.tolerance), 1e-6)
+  # (reference: io.py:429 applies the same 1e-6 floor).  f64 models keep
+  # the exact C tolerance (solver stopping points then match the oracle).
+  tolerance = float(mjm.opt.tolerance)
+  if np.dtype(dtype) == np.float32:
+    tolerance = max(tolerance, 1e-6)
   # engine-only options carried in MJCF <custom><numeric> entries
   # (reference: io.py:437-441 reads contact_sensor_maxmatch the same way)
   warn_overflow = _custom_numeric(mjm, 'warn_overflow')
@@ -975,8 +983,12 @@ def batch_model(m: types.Model, nworld: int, fields: dict) -> types.Model:
 
 
 def make_data(m: types.Model, nworld: Optional[int] = None,
-              dtype=np.float32) -> types.Data:
-  """Allocate a fresh Data at qpos0 (reference: io.py:1712 `make_data`)."""
+              dtype=None) -> types.Data:
+  """Allocate a fresh Data at qpos0 (reference: io.py:1712 `make_data`).
+
+  ``dtype`` defaults to the Model's dtype (f64 models get f64 data)."""
+  if dtype is None:
+    dtype = np.asarray(jax.device_get(m.qpos0)).dtype
   d = _empty_data(m, dtype)
   d = d.replace(qpos=jnp.asarray(m.qpos0, dtype))
   if m.nhistory:
@@ -1098,8 +1110,12 @@ def _empty_data(m: types.Model, dtype=np.float32) -> types.Data:
 
 
 def put_data(mjm: mujoco.MjModel, mjd: mujoco.MjData, m: types.Model,
-             nworld: Optional[int] = None, dtype=np.float32) -> types.Data:
-  """Device Data from a host MjData state (reference: io.py:1922)."""
+             nworld: Optional[int] = None, dtype=None) -> types.Data:
+  """Device Data from a host MjData state (reference: io.py:1922).
+
+  ``dtype`` defaults to the Model's dtype (f64 models get f64 data)."""
+  if dtype is None:
+    dtype = np.asarray(jax.device_get(m.qpos0)).dtype
   d = _empty_data(m, dtype)
   d = d.replace(
       time=_jnp(mjd.time, dtype),
