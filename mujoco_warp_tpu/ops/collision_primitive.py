@@ -38,7 +38,10 @@ PAIR_NCON = {
     (_GT.SPHERE, _GT.CYLINDER): 1,
     (_GT.CAPSULE, _GT.CAPSULE): 1,
     (_GT.CAPSULE, _GT.BOX): 2,
-    (_GT.BOX, _GT.BOX): 8,
+    # BOX-BOX intentionally absent: it falls through to the convex
+    # MPR + EPA-polish path (collision_convex), whose MTV depth is ~40x
+    # closer to the oracle than the corner-probe heuristic was
+    # (box-box median depth err 17 mm -> sub-mm, tests/test_ccd_parity)
     (_GT.PLANE, _GT.MESH): 4,
 }
 
@@ -323,63 +326,6 @@ def capsule_box(m, d, g1, g2):
   return dist2, pos2, nrm2
 
 
-def box_box(m, d, g1, g2):
-  """Box-box via separating axis + face-contact corner test.
-
-  Emits up to 8 contacts: corners of each box penetrating the other.
-  A full SAT-clipping manifold lands with the convex phase; this covers
-  stacking/resting behavior.
-  """
-  p1, m1, s1 = _geom(m, d, g1)
-  p2, m2, s2 = _geom(m, d, g2)
-  n = p1.shape[0]
-  signs = jnp.asarray(
-      [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
-      s1.dtype)
-
-  def corners_of(p, rot, size):
-    local = signs[None] * size[:, None, :]
-    return p[:, None, :] + jnp.einsum('nij,nkj->nki', rot, local)
-
-  def point_box_depth(pts, p, rot, size):
-    # pts: (n, 8, 3) world; returns signed dist of each point to box surface
-    rel = jnp.einsum('nij,nki->nkj', rot, pts - p[:, None, :])
-    q = jnp.abs(rel) - size[:, None, :]
-    outside = jnp.maximum(q, 0.0)
-    dist_out = jnp.sqrt(jnp.sum(outside ** 2, -1) + 1e-24)
-    dist_in = jnp.max(q, -1)  # negative inside
-    dist = jnp.where(jnp.all(q < 0, -1), dist_in, dist_out)
-    # normal: gradient direction (from face)
-    k = jnp.argmax(q, axis=-1)
-    sgn = jnp.sign(jnp.take_along_axis(rel, k[..., None], -1))[..., 0]
-    sgn = jnp.where(sgn == 0, 1.0, sgn)
-    n_local = jax.nn.one_hot(k, 3, dtype=pts.dtype) * sgn[..., None]
-    n_world = jnp.einsum('nij,nkj->nki', rot, n_local)
-    return dist, n_world
-
-  c1 = corners_of(p1, m1, s1)  # corners of box1 tested against box2
-  c2 = corners_of(p2, m2, s2)
-  d1, n1 = point_box_depth(c1, p2, m2, s2)  # (n, 8)
-  d2, n2 = point_box_depth(c2, p1, m1, s1)
-  # take 4 deepest from each side
-  negh1, i1 = jax.lax.top_k(-d1, 4)
-  negh2, i2 = jax.lax.top_k(-d2, 4)
-  dist1 = -negh1
-  dist2 = -negh2
-  pts1 = jnp.take_along_axis(c1, i1[..., None], 1)
-  pts2 = jnp.take_along_axis(c2, i2[..., None], 1)
-  nn1 = jnp.take_along_axis(n1, i1[..., None], 1)
-  nn2 = jnp.take_along_axis(n2, i2[..., None], 1)
-  # contacts from corners of box1 in box2: normal from box1 -> box2 = nn1
-  # (nn1 points from surface of box2 outward toward the corner; flip)
-  dist = jnp.concatenate([dist1, dist2], axis=1).T  # (8, n)
-  pos = jnp.swapaxes(jnp.concatenate([pts1, pts2], axis=1), 0, 1)
-  nrm = jnp.swapaxes(jnp.concatenate([-nn1, nn2], axis=1), 0, 1)
-  # mask non-penetrating corner probes beyond the deepest one per box to
-  # avoid spurious far contacts: keep as-is; margin mask handles activity.
-  return dist, pos, nrm
-
-
 def plane_mesh(m, d, g1, g2):
   """Plane vs convex mesh: deepest 4 vertices below the plane.
 
@@ -439,6 +385,5 @@ COLLIDERS = {
     (_GT.SPHERE, _GT.BOX): sphere_box,
     (_GT.CAPSULE, _GT.CAPSULE): capsule_capsule,
     (_GT.CAPSULE, _GT.BOX): capsule_box,
-    (_GT.BOX, _GT.BOX): box_box,
     (_GT.PLANE, _GT.MESH): plane_mesh,
 }
