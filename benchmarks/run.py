@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -19,7 +20,15 @@ def main(argv=None):
   p.add_argument('--nworld', type=int, default=None)
   p.add_argument('--nstep', type=int, default=None)
   p.add_argument('--output', default=None)
+  p.add_argument('--cpu', action='store_true',
+                 help='force the CPU backend (sweep --mock; the axon '
+                      'sitecustomize overrides JAX_PLATFORMS env vars, '
+                      'so this must be an in-process config flip)')
   args = p.parse_args(argv)
+
+  if args.cpu or os.environ.get('MWTPU_FORCE_CPU'):
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
 
   import mujoco
 
