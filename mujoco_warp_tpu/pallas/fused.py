@@ -44,6 +44,7 @@ from mujoco_warp_tpu.pallas.solver import (TILE_W, _chol_solve_tile,
 _JT = types.JointType
 _GT = types.GeomType
 _MINVAL = 1e-15
+_BIGW = 1e10
 MJ_MINIMP = 0.0001
 MJ_MAXIMP = 0.9999
 
@@ -52,9 +53,12 @@ MJ_MAXIMP = 0.9999
 _FUSED_COLLIDERS = {
     (_GT.PLANE, _GT.SPHERE),
     (_GT.PLANE, _GT.CAPSULE),
+    (_GT.PLANE, _GT.BOX),
     (_GT.SPHERE, _GT.SPHERE),
     (_GT.SPHERE, _GT.CAPSULE),
+    (_GT.SPHERE, _GT.BOX),
     (_GT.CAPSULE, _GT.CAPSULE),
+    (_GT.CAPSULE, _GT.BOX),
 }
 
 # sensor types the fused rollout evaluates (world-major XLA glue after
@@ -297,14 +301,13 @@ def supported_features(m: types.Model) -> bool:
   if np.any(np.asarray(jax.device_get(m.body_gravcomp)) != 0):
     return False
   # collisions: lane-form colliders only; K4's contact assembly builds
-  # frictionless (1) and 4-row pyramidal (3) rows — condim 4/6 rows
-  # (torsional/rolling pyramid) are not in the fused assembler yet
+  # frictionless (1) and pyramidal (3/4/6) rows incl. torsion/roll
   if m.opt.run_collision_detection:
     for (t1, t2, idx, slot) in m.pair_groups:
       if (int(t1), int(t2)) not in _FUSED_COLLIDERS:
         return False
     if m.ncand and not set(
-        int(x) for x in np.asarray(m.con_dim)) <= {1, 3}:
+        int(x) for x in np.asarray(m.con_dim)) <= {1, 3, 4, 6}:
       return False
   return True
 
@@ -382,6 +385,146 @@ def _narrowphase(m: types.Model, gx, gmat, sizes, dtype):
         dists.append(dist)
         poss.append(pos)
         frames.append(frame)
+    elif key == (_GT.PLANE, _GT.BOX):
+      # 4 deepest of the 8 box corners below the plane (the lane form of
+      # collision_primitive.plane_box); selection is an index-tracked
+      # 4-pass masked argmin so equal-height corners (flat resting) are
+      # picked one at a time
+      nrm = col_z(g1)
+      mats = jnp.stack([gmat[int(g)] for g in g2], axis=0)  # (n, 9, W)
+      sx, sy, sz = szcol(g2, 0), szcol(g2, 1), szcol(g2, 2)
+      heights, corners = [], []
+      for a in (-1.0, 1.0):
+        for b in (-1.0, 1.0):
+          for c in (-1.0, 1.0):
+            lx, ly, lz = a * sx, b * sy, c * sz
+            cw = P2 + jnp.concatenate([
+                mats[:, 0:1] * lx + mats[:, 1:2] * ly + mats[:, 2:3] * lz,
+                mats[:, 3:4] * lx + mats[:, 4:5] * ly + mats[:, 5:6] * lz,
+                mats[:, 6:7] * lx + mats[:, 7:8] * ly + mats[:, 8:9] * lz,
+            ], axis=1)
+            heights.append(_gdot(nrm, cw - P1))
+            corners.append(cw)
+      frame = _make_frame_g(nrm)
+      taken = [jnp.zeros_like(heights[0], bool) for _ in range(8)]
+      for _pick in range(4):
+        hmin = jnp.where(taken[0], _BIGW, heights[0])
+        cmin = corners[0]
+        idxm = jnp.zeros_like(hmin)
+        for k in range(1, 8):
+          hk = jnp.where(taken[k], _BIGW, heights[k])
+          better = hk < hmin
+          cmin = jnp.where(better, corners[k], cmin)
+          idxm = jnp.where(better, float(k), idxm)
+          hmin = jnp.where(better, hk, hmin)
+        for k in range(8):
+          taken[k] = taken[k] | (idxm == float(k))
+        dists.append(hmin)
+        poss.append(cmin - nrm * (0.5 * hmin))
+        frames.append(frame)
+    elif key == (_GT.SPHERE, _GT.BOX):
+      # lane form of collision_primitive.sphere_box: clamp the sphere
+      # center into the box (outside) or push to the nearest face (inside)
+      r = szcol(g1, 0)
+      mats = jnp.stack([gmat[int(g)] for g in g2], axis=0)
+      dv = P1 - P2
+      loc = jnp.concatenate([
+          mats[:, 0:1] * dv[:, 0:1] + mats[:, 3:4] * dv[:, 1:2] +
+          mats[:, 6:7] * dv[:, 2:3],
+          mats[:, 1:2] * dv[:, 0:1] + mats[:, 4:5] * dv[:, 1:2] +
+          mats[:, 7:8] * dv[:, 2:3],
+          mats[:, 2:3] * dv[:, 0:1] + mats[:, 5:6] * dv[:, 1:2] +
+          mats[:, 8:9] * dv[:, 2:3]], axis=1)
+      size = jnp.concatenate([szcol(g2, 0), szcol(g2, 1), szcol(g2, 2)],
+                             axis=1)
+      cl = jnp.clip(loc, -size, size)
+      inside = jnp.all(jnp.abs(loc) < size, axis=1, keepdims=True)
+      fd = size - jnp.abs(loc)
+      k01 = jnp.where(fd[:, 0:1] <= fd[:, 1:2], 0.0, 1.0)
+      fd01 = jnp.minimum(fd[:, 0:1], fd[:, 1:2])
+      kmin = jnp.where(fd01 <= fd[:, 2:3], k01, 2.0)
+      sgn = jnp.sign(loc)
+      sgn = jnp.where(sgn == 0, 1.0, sgn)
+      pushed = jnp.concatenate([
+          jnp.where(kmin == float(j), sgn[:, j:j + 1] * size[:, j:j + 1],
+                    cl[:, j:j + 1]) for j in range(3)], axis=1)
+      cll = jnp.where(inside, pushed, cl)
+      cw = P2 + jnp.concatenate([
+          mats[:, 0:1] * cll[:, 0:1] + mats[:, 1:2] * cll[:, 1:2] +
+          mats[:, 2:3] * cll[:, 2:3],
+          mats[:, 3:4] * cll[:, 0:1] + mats[:, 4:5] * cll[:, 1:2] +
+          mats[:, 5:6] * cll[:, 2:3],
+          mats[:, 6:7] * cll[:, 0:1] + mats[:, 7:8] * cll[:, 1:2] +
+          mats[:, 8:9] * cll[:, 2:3]], axis=1)
+      vec = cw - P1
+      ln = _gnorm(vec)
+      nrm = vec / ln
+      dist = jnp.where(inside, -(ln + r), ln - r)
+      nrm = jnp.where(inside, -nrm, nrm)
+      dists.append(dist)
+      poss.append(P1 + nrm * (r + 0.5 * dist))
+      frames.append(_make_frame_g(nrm))
+    elif key == (_GT.CAPSULE, _GT.BOX):
+      # lane form of collision_primitive.capsule_box: sphere-box probes
+      # at both endpoints + the segment point nearest the box center,
+      # keep the 2 deepest (index-tracked selection)
+      axis = col_z(g1)
+      r = szcol(g1, 0)
+      half = szcol(g1, 1)
+      seg = axis * half
+      mats = jnp.stack([gmat[int(g)] for g in g2], axis=0)
+      size = jnp.concatenate([szcol(g2, 0), szcol(g2, 1), szcol(g2, 2)],
+                             axis=1)
+
+      def matT_mul(v):
+        return jnp.concatenate([
+            mats[:, 0:1] * v[:, 0:1] + mats[:, 3:4] * v[:, 1:2] +
+            mats[:, 6:7] * v[:, 2:3],
+            mats[:, 1:2] * v[:, 0:1] + mats[:, 4:5] * v[:, 1:2] +
+            mats[:, 7:8] * v[:, 2:3],
+            mats[:, 2:3] * v[:, 0:1] + mats[:, 5:6] * v[:, 1:2] +
+            mats[:, 8:9] * v[:, 2:3]], axis=1)
+
+      def mat_mul(v):
+        return jnp.concatenate([
+            mats[:, 0:1] * v[:, 0:1] + mats[:, 1:2] * v[:, 1:2] +
+            mats[:, 2:3] * v[:, 2:3],
+            mats[:, 3:4] * v[:, 0:1] + mats[:, 4:5] * v[:, 1:2] +
+            mats[:, 5:6] * v[:, 2:3],
+            mats[:, 6:7] * v[:, 0:1] + mats[:, 7:8] * v[:, 1:2] +
+            mats[:, 8:9] * v[:, 2:3]], axis=1)
+
+      e0, e1 = P1 - seg, P1 + seg
+      mid = _closest_seg_point_g(e0, e1, P2)
+      pd, pp, pn = [], [], []
+      for center in (e0, e1, mid):
+        rel = matT_mul(center - P2)
+        cl = jnp.clip(rel, -size, size)
+        closest = P2 + mat_mul(cl)
+        vec = closest - center
+        ln = _gnorm(vec)
+        nrm = vec / ln
+        di = ln - r
+        pd.append(di)
+        pp.append(center + nrm * (r + 0.5 * di))
+        pn.append(nrm)
+      taken = [jnp.zeros_like(pd[0], bool) for _ in range(3)]
+      for _pick in range(2):
+        dmin = jnp.where(taken[0], _BIGW, pd[0])
+        pmin, nmin = pp[0], pn[0]
+        idxm = jnp.zeros_like(dmin)
+        for k in range(1, 3):
+          dk = jnp.where(taken[k], _BIGW, pd[k])
+          better = dk < dmin
+          pmin = jnp.where(better, pp[k], pmin)
+          nmin = jnp.where(better, pn[k], nmin)
+          idxm = jnp.where(better, float(k), idxm)
+          dmin = jnp.where(better, dk, dmin)
+        for k in range(3):
+          taken[k] = taken[k] | (idxm == float(k))
+        dists.append(dmin)
+        poss.append(pmin)
+        frames.append(_make_frame_g(nmin))
     elif key == (_GT.SPHERE, _GT.SPHERE):
       r1 = szcol(g1, 0)
       r2 = szcol(g2, 0)
@@ -639,11 +782,12 @@ def _param_classes(m: types.Model):
   b2 = m.geom_bodyid[m.pair_geom2[cp]]
   iw = iw0[b1, 0] + iw0[b2, 0]
   rows = np.concatenate(
-      [im[:, None], iw[:, None], fri[:, :2], sr, si], axis=1)  # (nc, 11)
+      [im[:, None], iw[:, None], fri[:, :5], sr, si], axis=1)  # (nc, 14)
   uniq, pc = np.unique(rows, axis=0, return_inverse=True)
-  vals = [dict(im=float(u[0]), invw=float(u[1]), f0=float(u[2]),
-               f1=float(u[3]), sr=(float(u[4]), float(u[5])),
-               si=tuple(float(x) for x in u[6:11])) for u in uniq]
+  vals = [dict(im=float(u[0]), invw=float(u[1]),
+               fri=tuple(float(x) for x in u[2:7]),
+               sr=(float(u[7]), float(u[8])),
+               si=tuple(float(x) for x in u[9:14])) for u in uniq]
   return pc.astype(np.int32), vals
 
 
@@ -731,8 +875,8 @@ def _compact_xla(m: types.Model, dist, cpos, cframe, stcom, dtype):
     outs['im'].append(psel(lambda p: p['im']) * valid)
     outs['invweight'].append(psel(lambda p: p['invw']))
     outs['friction'].append(jnp.stack(
-        [psel(lambda p: p['f0']), psel(lambda p: p['f1'])],
-        axis=1).reshape(cap * 2, W))
+        [psel(lambda p, i=i: p['fri'][i]) for i in range(5)],
+        axis=1).reshape(cap * 5, W))
     outs['solref'].append(jnp.stack(
         [psel(lambda p, i=i: p['sr'][i]) for i in range(2)],
         axis=1).reshape(cap * 2, W))
@@ -798,7 +942,7 @@ def _identity_con_xla(m: types.Model, dist, cpos, cframe, stcom, dtype):
     ).astype(dtype)
 
   pc_np, pvals = _param_classes(m)
-  fri = np.stack([[pvals[u]['f0'], pvals[u]['f1']] for u in pc_np])
+  fri = np.stack([pvals[u]['fri'] for u in pc_np])
   sr = np.stack([pvals[u]['sr'] for u in pc_np])
   si = np.stack([pvals[u]['si'] for u in pc_np])
   con = {
@@ -1128,22 +1272,33 @@ def _make_k4(m: types.Model, dtype, damped: bool):
                  ang_c[2] * u2[2:3])
           return dm * lt + m2 * au2 - m1 * au1
 
+        def rot_row(t):
+          # rotational jacobian row: jacr = ang masked by (m2-m1); the
+          # lever arm does not enter (constraint.py torsion/roll rows)
+          return dm * (ang_c[0] * t[0:1] + ang_c[1] * t[1:2] +
+                       ang_c[2] * t[2:3])
+
         Jn = axis_row(fr[0:3])
         veln = jnp.sum(Jn * qvel, axis=0, keepdims=True)
         if dim == 1:
           rows = [(Jn, veln)]
           iw = invw[s:s + 1]
         else:
-          Jt1 = axis_row(fr[3:6])
-          Jt2 = axis_row(fr[6:9])
-          velt1 = jnp.sum(Jt1 * qvel, axis=0, keepdims=True)
-          velt2 = jnp.sum(Jt2 * qvel, axis=0, keepdims=True)
-          f0 = fri[2 * s:2 * s + 1]
-          f1 = fri[2 * s + 1:2 * s + 2]
-          rows = [(Jn + f0 * Jt1, veln + f0 * velt1),
-                  (Jn - f0 * Jt1, veln - f0 * velt1),
-                  (Jn + f1 * Jt2, veln + f1 * velt2),
-                  (Jn - f1 * Jt2, veln - f1 * velt2)]
+          # pyramidal rows Jn ± fric_i * dir_i over dirs
+          # [t1, t2, rot_n, rot_t1, rot_t2][:dim-1] (constraint.py:3743)
+          dirs = [axis_row(fr[3:6]), axis_row(fr[6:9])]
+          if dim >= 4:
+            dirs.append(rot_row(fr[0:3]))
+          if dim == 6:
+            dirs.append(rot_row(fr[3:6]))
+            dirs.append(rot_row(fr[6:9]))
+          rows = []
+          for fi, Jd in enumerate(dirs):
+            f = fri[5 * s + fi:5 * s + fi + 1]
+            veld = jnp.sum(Jd * qvel, axis=0, keepdims=True)
+            rows.append((Jn + f * Jd, veln + f * veld))
+            rows.append((Jn - f * Jd, veln - f * veld))
+          f0 = fri[5 * s:5 * s + 1]
           iw0 = invw[s:s + 1]
           iw = (iw0 + f0 * f0 * iw0) * 2.0 * f0 * f0 * ir
         k, b, imp = _kbi_lane(
@@ -1248,7 +1403,7 @@ def _k4_call(m: types.Model, damped, qM, qLD, qfs, ws, qvel, qpos, cdof,
   else:
     z = lambda k: jnp.zeros((k, W), dtype)
     con_args = (jnp.full((ncon, W), 1e10, dtype), z(3 * ncon),
-                z(9 * ncon), z(ncon), z(2 * ncon), z(2 * ncon),
+                z(9 * ncon), z(ncon), z(5 * ncon), z(2 * ncon),
                 z(5 * ncon), z(ncon), z(nv * ncon), z(nv * ncon),
                 z(3 * ncon), z(3 * ncon))
 
@@ -1257,7 +1412,7 @@ def _k4_call(m: types.Model, damped, qM, qLD, qfs, ws, qvel, qpos, cdof,
       grid=(W // TILE_W,),
       in_specs=[bw(nv * nv), bw(nv * nv), bw(nv), bw(nv), bw(nv), bw(nq),
                 bw(nv * 6), bw(ncon), bw(3 * ncon), bw(9 * ncon),
-                bw(ncon), bw(2 * ncon), bw(2 * ncon), bw(5 * ncon),
+                bw(ncon), bw(5 * ncon), bw(2 * ncon), bw(5 * ncon),
                 bw(ncon), bw(nv * ncon), bw(nv * ncon), bw(3 * ncon),
                 bw(3 * ncon), bstat(nv), smem, smem, smem, smem, smem],
       out_specs=[bw(nq), bw(nv), bw(nv), bw(nv), bw(1)],

@@ -1,0 +1,109 @@
+"""Fused lanes-last whole-step path vs the general path (interpret mode).
+
+The fused path (pallas/fused.py) is the flagship TPU pipeline; on CPU it
+only runs under the Pallas interpreter, which is what these tests use —
+the analog of the reference's --verify_cuda strategy (SURVEY §5.2).
+Covers the gate-lifted features: box colliders (plane-box, sphere-box)
+and condim 4/6 pyramid rows (torsion/roll).
+"""
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+from mujoco_warp_tpu import io
+from mujoco_warp_tpu.ops import forward as fwd
+from mujoco_warp_tpu.pallas import fused
+from mujoco_warp_tpu.pallas.solver import TILE_W
+from tests.oracle import assert_close
+
+_BOX46 = """
+<mujoco>
+  <option timestep="0.004"/>
+  <worldbody>
+    <geom type="plane" size="3 3 .1"/>
+    <body pos="0 0 0.12">
+      <freejoint/>
+      <geom type="box" size="0.1 0.08 0.1" mass="0.5" condim="4"
+            friction="0.8 0.02 0.001"/>
+    </body>
+    <body pos="0.5 0 0.1">
+      <freejoint/>
+      <geom type="sphere" size="0.09" mass="0.3" condim="6"
+            friction="0.7 0.015 0.002"/>
+    </body>
+    <body pos="0.36 0 0.4">
+      <freejoint/>
+      <geom type="sphere" size="0.07" mass="0.2" condim="3"/>
+    </body>
+    <body pos="0 0 0.35" euler="0 20 0">
+      <freejoint/>
+      <geom type="capsule" size="0.04 0.09" mass="0.15" condim="4"/>
+    </body>
+  </worldbody>
+</mujoco>"""
+
+
+def _run_both(xml, nstep=5, seed=0):
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = io.put_model(mjm)
+  assert fused.supported_features(m), 'scene must pass the fused gate'
+  d = io.make_data(m, nworld=TILE_W)
+  rng = np.random.default_rng(seed)
+  d = d.replace(
+      qpos=d.qpos + 0.01 * jnp.asarray(
+          rng.standard_normal(d.qpos.shape).astype(np.float32)),
+      qvel=0.2 * jnp.asarray(
+          rng.standard_normal(d.qvel.shape).astype(np.float32)))
+
+  ref = d
+  gstep = jax.jit(jax.vmap(lambda dd: fwd.step(m, dd)))
+  for _ in range(nstep):
+    ref = gstep(ref)
+
+  st = fused.to_lane(m, d)
+  for _ in range(nstep):
+    st = fused.step_lane(m, st, interpret=True)
+  out = fused.from_lane(m, st, d)
+  return ref, out
+
+
+def test_fused_box_condim46_vs_general():
+  """Plane-box + sphere-box + capsule-box colliders and condim 4/6
+  torsion/roll rows agree with the general path over a landing rollout.
+
+  4 steps: once the capsule settles flat on the box, the probe-based
+  capsule-box collider has a continuum of equal-depth contact points and
+  float-noise ranking legitimately picks different (physically
+  equivalent) probes per path — pointwise comparison stops being
+  meaningful there (same reason long-horizon trajectories diverge,
+  tools/error_growth.py)."""
+  ref, out = _run_both(_BOX46, nstep=4)
+  assert_close(out.qpos, ref.qpos, 'qpos', atol=2e-4, rtol=1e-3)
+  assert_close(out.qvel, ref.qvel, 'qvel', atol=5e-3, rtol=5e-3)
+
+
+def test_fused_humanoid_vs_general():
+  """The flagship humanoid scene: fused whole-step pipeline matches the
+  general stage-split path."""
+  from mujoco_warp_tpu import benchmarks
+  mjm = benchmarks.load_humanoid_benchmark()
+  m = io.put_model(mjm, nconmax={1: 12, 3: 24})
+  assert fused.supported_features(m)
+  d = io.make_data(m, nworld=TILE_W)
+  rng = np.random.default_rng(1)
+  d = d.replace(
+      qpos=d.qpos + 0.005 * jnp.asarray(
+          rng.standard_normal(d.qpos.shape).astype(np.float32)))
+  ref = d
+  gstep = jax.jit(jax.vmap(lambda dd: fwd.step(m, dd)))
+  for _ in range(3):
+    ref = gstep(ref)
+  st = fused.to_lane(m, d)
+  for _ in range(3):
+    st = fused.step_lane(m, st, interpret=True)
+  out = fused.from_lane(m, st, d)
+  assert_close(out.qpos, ref.qpos, 'qpos', atol=2e-4, rtol=1e-3)
+  assert_close(out.qvel, ref.qvel, 'qvel', atol=5e-3, rtol=5e-3)

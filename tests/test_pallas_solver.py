@@ -69,9 +69,9 @@ def test_pallas_big_path(monkeypatch):
                'qfrc_constraint', atol=5e-2, rtol=5e-2)
 
 
-def test_fused_gate_rejects_condim46():
-  """condim 4/6 scenes must not take the fused path (its assembler
-  builds condim-3 pyramid rows; regression for a silent-wrong-rows gap)."""
+def test_fused_gate_accepts_condim46():
+  """condim 4/6 scenes ride the fused path (K4 builds torsion/roll
+  pyramid rows; end-to-end parity in tests/test_fused.py)."""
   import mujoco
   from mujoco_warp_tpu import io
   from mujoco_warp_tpu.pallas import fused
@@ -81,4 +81,4 @@ def test_fused_gate_rejects_condim46():
     <geom type="sphere" size="0.1" condim="6" mass="0.2"/></body>
   </worldbody></mujoco>'''
   m = io.put_model(mujoco.MjModel.from_xml_string(xml))
-  assert not fused.supported_features(m)
+  assert fused.supported_features(m)
