@@ -149,8 +149,11 @@ def _efc_layout(
     eq_groups[name][0].append(eqid)
     eq_groups[name][1].append(adr)
     n = _EQ_NROW[et]
-    if n < 0:  # FLEX: one row per edge of the flex (constraint.py:878)
-      n = int(mjm.flex_edgenum[mjm.eq_obj1id[eqid]])
+    if n < 0:  # FLEX: one row per edge of the flex (constraint.py:878);
+      # interpolated flexes emit none (C skips edge equality for interp)
+      fi = int(mjm.eq_obj1id[eqid])
+      n = 0 if int(mjm.flex_interp[fi]) != 0 else \
+          int(mjm.flex_edgenum[fi])
     efc_type += [int(_CT.EQUALITY)] * n
     efc_id += [eqid] * n
     adr += n
@@ -226,8 +229,9 @@ def _flex_fields(mjm: mujoco.MjModel, dtype) -> dict:
   """
   if not mjm.nflex:
     return dict(nflex=0, nflexvert=0, nflexedge=0, nflexelem=0)
-  if np.any(mjm.flex_interp != 0):
-    raise NotImplementedError('interpolated (nodal) flexes not supported')
+  if np.any(np.abs(mjm.flex_interp) > 1):
+    # the reference raises identically on quadratic (io.py:365)
+    raise NotImplementedError('quadratic flex interpolation not supported')
   if np.any(mjm.flex_internal != 0):
     # the reference raises identically (io.py:478): internal
     # (vertex-vs-own-element) contacts are out of scope; author scenes
@@ -236,28 +240,88 @@ def _flex_fields(mjm: mujoco.MjModel, dtype) -> dict:
                               '(set <contact internal="false"/>)')
   if not np.all(mjm.flex_centered):
     raise NotImplementedError('non-centered flex vertices not supported')
-  vert_dofadr = np.zeros(mjm.nflexvert, np.int32)
-  for v in range(mjm.nflexvert):
-    b = int(mjm.flex_vertbodyid[v])
-    if b < 0:
-      raise NotImplementedError('interpolated flex vertices not supported')
+
+  def _check_particle(b, what):
     if int(mjm.body_dofnum[b]) != 3 or int(mjm.body_jntnum[b]) != 3:
       raise NotImplementedError(
-          'flex vertex bodies must be particles (3 slide dofs)')
+          f'flex {what} bodies must be particles (3 slide dofs)')
     jadr = int(mjm.body_jntadr[b])
     for k in range(3):
       j = jadr + k
       if (int(mjm.jnt_type[j]) != int(mujoco.mjtJoint.mjJNT_SLIDE) or
           not np.allclose(mjm.jnt_axis[j], np.eye(3)[k])):
         raise NotImplementedError(
-            'flex vertex bodies must use world-aligned slide joints')
+            f'flex {what} bodies must use world-aligned slide joints')
     if not np.allclose(mjm.body_quat[b], [1, 0, 0, 0]):
-      raise NotImplementedError('rotated flex vertex bodies not supported')
-    vert_dofadr[v] = mjm.body_dofadr[b]
+      raise NotImplementedError(f'rotated flex {what} bodies not supported')
+
+  vert_dofadr = np.full(mjm.nflexvert, -1, np.int32)
+  iv_ids, iv_W, iv_body, iv_dof = [], [], [], []
+  inode_dof, inode_body, inode0, icell_K, idamping = [], [], [], [], []
+  for fi in range(mjm.nflex):
+    va, vn = int(mjm.flex_vertadr[fi]), int(mjm.flex_vertnum[fi])
+    if int(mjm.flex_interp[fi]) != 0:
+      # trilinear (nodal) flex: vertices interpolate the 8 corner node
+      # bodies with static weights from the parametric coords flex_vert0
+      # (reference smooth.py:256 + support.eval_basis_trilinear)
+      na, nn = int(mjm.flex_nodeadr[fi]), int(mjm.flex_nodenum[fi])
+      if nn != 8:
+        raise NotImplementedError(
+            f'trilinear flex must have 8 nodes, got {nn}')
+      nb = mjm.flex_nodebodyid[na:na + 8]
+      for b in nb:
+        _check_particle(int(b), 'node')
+      ndof = mjm.body_dofadr[nb].astype(np.int32)
+      inode_dof.append(ndof)
+      inode_body.append(nb.astype(np.int32))
+      inode0.append(mjm.flex_node0[na:na + 8].copy())
+      sadr = int(mjm.flex_stiffnessadr[fi])
+      if sadr >= 0:
+        icell_K.append(
+            mjm.flex_stiffness[sadr:sadr + 576].reshape(24, 24).copy())
+      else:
+        icell_K.append(np.zeros((24, 24)))
+      idamping.append(float(mjm.flex_damping[fi]))
+      for v in range(va, va + vn):
+        x, y, z = mjm.flex_vert0[v]
+        w = np.zeros(8)
+        for li in range(2):
+          for lj in range(2):
+            for lk in range(2):
+              # node index gi*4 + gj*2 + gk (reference smooth.py:283)
+              w[4 * li + 2 * lj + lk] = (
+                  (x if li else 1.0 - x) * (y if lj else 1.0 - y) *
+                  (z if lk else 1.0 - z))
+        iv_ids.append(v)
+        iv_W.append(w)
+        iv_body.append(nb.astype(np.int32))
+        iv_dof.append(ndof)
+      continue
+    for v in range(va, va + vn):
+      b = int(mjm.flex_vertbodyid[v])
+      _check_particle(b, 'vertex')
+      vert_dofadr[v] = mjm.body_dofadr[b]
+  interp_fields = {}
+  if iv_ids:
+    if mjm.opt.enableflags & mujoco.mjtEnableBit.mjENBL_SLEEP:
+      raise NotImplementedError(
+          'sleeping with interpolated flexes not supported')
+    interp_fields = dict(
+        flex_iv_ids=np.asarray(iv_ids, np.int32),
+        flex_iv_W=np.asarray(iv_W, np.float64),
+        flex_iv_body=np.asarray(iv_body, np.int32),
+        flex_iv_dof=np.asarray(iv_dof, np.int32),
+        flex_inode_dof=np.asarray(inode_dof, np.int32),
+        flex_inode_body=np.asarray(inode_body, np.int32),
+        flex_inode0=_jnp(np.asarray(inode0), dtype),
+        flex_icell_K=_jnp(np.asarray(icell_K), dtype),
+        flex_idamping=_jnp(np.asarray(idamping), dtype))
   return dict(
+      **interp_fields,
       nflex=int(mjm.nflex), nflexvert=int(mjm.nflexvert),
       nflexedge=int(mjm.nflexedge), nflexelem=int(mjm.nflexelem),
       flex_dim=mjm.flex_dim.copy(),
+      flex_interp=mjm.flex_interp.copy(),
       flex_vertadr=mjm.flex_vertadr.copy(),
       flex_vertnum=mjm.flex_vertnum.copy(),
       flex_edgeadr=mjm.flex_edgeadr.copy(),
@@ -441,6 +505,8 @@ def _detect_compact(mjm: mujoco.MjModel, lay: types.EfcLayout,
     return False
   if mjm.opt.enableflags & mujoco.mjtEnableBit.mjENBL_SLEEP:
     return False
+  if mjm.nflex and np.any(mjm.flex_interp != 0):
+    return False  # interp edge/contact rows touch 24+ node dofs
   return True
 
 
@@ -613,6 +679,11 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
   efc_K = max(6, 2 * chain_k) if efc_compact else 0
 
   flex_fields = _flex_fields(mjm, dtype)
+  if flex_fields.get('flex_iv_ids') is not None and con_compact:
+    raise NotImplementedError(
+        'contact compaction (nconmax) with interpolated flexes is not '
+        'supported: interpolated-vertex contact jacobians need static '
+        'slot identity (use lossless slots: nconmax=None)')
   tactile_specs = _tactile_specs(mjm, pairs)
 
   # geoms of type SDF resolve their signed-distance function from the
@@ -877,8 +948,12 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
     radius = np.asarray(mjm.flex_radius, np.float64)[fid]
     vsize = np.stack([radius, 0 * radius, 0 * radius], axis=-1)
     catj = lambda a, b: jnp.concatenate([a, _jnp(b, dtype)], axis=0)
+    # interpolated vertices have no body (vertbodyid -1): anchor their
+    # pseudo geoms to the world body; their contact jacobians are patched
+    # statically in constraint._contact from the node-weight tables
     m = m.replace(
-        geom_bodyid=np.concatenate([m.geom_bodyid, mjm.flex_vertbodyid]),
+        geom_bodyid=np.concatenate(
+            [m.geom_bodyid, np.maximum(mjm.flex_vertbodyid, 0)]),
         geom_priority=np.concatenate(
             [m.geom_priority, mjm.flex_priority[fid]]),
         geom_size=catj(m.geom_size, vsize),

@@ -120,23 +120,29 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
             continue
         # different flexes fall through to standard filtering
       ba, bb = ge_body[a], ge_body[b]
-      if ba == bb:
-        continue
-      wa, wb = mjm.body_weldid[ba], mjm.body_weldid[bb]
-      if wa == wb:
-        continue
+      # interpolated flex vertices have no body (vertbodyid -1): the
+      # body-based same-body/weld/parent/exclude filters don't apply
+      bodiless = ba < 0 or bb < 0
+      if not bodiless:
+        if ba == bb:
+          continue
+        wa, wb = mjm.body_weldid[ba], mjm.body_weldid[bb]
+        if wa == wb:
+          continue
       if (int(ge_contype[a]) & int(ge_conaff[b])) == 0 and \
          (int(ge_contype[b]) & int(ge_conaff[a])) == 0:
         continue
-      if not (mjm.opt.disableflags & mujoco.mjtDisableBit.mjDSBL_FILTERPARENT):
+      if not bodiless and not (
+          mjm.opt.disableflags & mujoco.mjtDisableBit.mjDSBL_FILTERPARENT):
         # parent filtering applies only between two non-world weld bodies
         # (mj_collideGeoms semantics: `weld1 && weld2 && ...`)
         wpa = mjm.body_weldid[mjm.body_parentid[wa]]
         wpb = mjm.body_weldid[mjm.body_parentid[wb]]
         if wa != 0 and wb != 0 and (wa == wpb or wb == wpa):
           continue
-      if (min(ba, bb), max(ba, bb)) in excluded or \
-         (max(ba, bb), min(ba, bb)) in excluded:
+      if not bodiless and (
+          (min(ba, bb), max(ba, bb)) in excluded or
+          (max(ba, bb), min(ba, bb)) in excluded):
         continue
       g1s.append(a)
       g2s.append(b)

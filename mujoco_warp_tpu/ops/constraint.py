@@ -464,6 +464,8 @@ def _equality_flex(m, d, rows, dtype):
   dof = np.asarray(m.flex_vert_dofadr)
   for eqid, adr0 in zip(ids, lay.flex_adr):
     fi = int(m.eq_obj1id[eqid])
+    if int(m.flex_interp[fi]) != 0:
+      continue  # C emits no edge-equality rows for interpolated flexes
     ebase = int(m.flex_edgeadr[fi])
     nfe = int(m.flex_edgenum[fi])
     e = np.asarray(m.flex_edge)[ebase:ebase + nfe] + int(m.flex_vertadr[fi])
@@ -491,13 +493,102 @@ def _equality_flex(m, d, rows, dtype):
                        aref, None, active)
       continue
 
-    # J rows via static scatter: row r has -u on vert0 dofs, +u on vert1
+    # J rows via static scatter: row r has -u on vert0 dofs, +u on vert1;
+    # interpolated vertices distribute over their 8 node-dof columns with
+    # the static trilinear weights (vertex-dof chain rule)
     rows_idx = np.arange(nfe)
-    J = jnp.zeros((nfe, nv), dtype)
+    Wv, Dv = _vert_wdof(m)
+    J = jnp.zeros((nfe, nv + 3), dtype)  # columns past nv: weight-0 pads
     for k in range(3):
-      J = J.at[rows_idx, dof[e[:, 0]] + k].add(-uhat[:, k])
-      J = J.at[rows_idx, dof[e[:, 1]] + k].add(uhat[:, k])
-    rows.set(adr, J, posv, jnp.zeros_like(posv), D, aref, None, active)
+      for side, sgn in ((0, -1.0), (1, 1.0)):
+        wd = Wv[e[:, side]]  # (nfe, 8)
+        dd = Dv[e[:, side]] + k  # (nfe, 8); pads stay at nv
+        J = J.at[rows_idx[:, None], dd].add(sgn * uhat[:, k:k + 1] *
+                                            jnp.asarray(wd, dtype))
+    rows.set(adr, J[:, :nv], posv, jnp.zeros_like(posv), D, aref, None,
+             active)
+
+
+def _vert2iv(m):
+  """(nflexvert,) static map: vertex id -> row in the flex_iv_* tables,
+  -1 for particle vertices."""
+  v2i = np.full(m.nflexvert, -1, np.int32)
+  v2i[m.flex_iv_ids] = np.arange(len(m.flex_iv_ids), dtype=np.int32)
+  return v2i
+
+
+def _iv_jac_table(m):
+  """(nivert, nv, 3) dense static translation jacobians of interpolated
+  vertices: column dof(node_k)+a carries w_k on axis a."""
+  ni = len(m.flex_iv_ids)
+  tab = np.zeros((ni, m.nv, 3))
+  for i in range(ni):
+    for k in range(8):
+      dof = int(m.flex_iv_dof[i, k])
+      w = float(m.flex_iv_W[i, k])
+      for a in range(3):
+        tab[i, dof + a, a] += w
+  return tab
+
+
+def _patch_iv_jac(m, idx, side, jacp, jacr, dtype):
+  """Replace contact-point jacobians of interpolated-vertex pseudo geoms
+  (static slot positions) with their node-weight translation rows."""
+  cp = np.asarray(m.con_pair)[idx]
+  gs = np.asarray(m.pair_geom1 if side == 0 else m.pair_geom2)[cp]
+  v2i = _vert2iv(m)
+  isvert = gs >= m.ngeom
+  vid = np.where(isvert, gs - m.ngeom, 0)
+  sel = np.nonzero(isvert & (v2i[vid] >= 0))[0]
+  if not len(sel):
+    return jacp, jacr
+  rows = v2i[vid[sel]]
+  tab = _iv_jac_table(m)
+  jacp = jacp.at[sel].set(jnp.asarray(tab[rows], dtype))
+  jacr = jacr.at[sel].set(0.0)
+  return jacp, jacr
+
+
+def _static_contact_invw(m, idx):
+  """(k,) static contact inverse weights: body invweight0 per side, or
+  the trilinear blend sum(w_k^2 * node invweight0) for interpolated
+  vertices (the effective inverse mass of the interpolation point)."""
+  cp = np.asarray(m.con_pair)[idx]
+  iw0 = np.asarray(jax.device_get(m.body_invweight0))[:, 0]
+  gb = np.asarray(m.geom_bodyid)
+  v2i = _vert2iv(m)
+  out = np.zeros(len(idx))
+  for side_geoms in (np.asarray(m.pair_geom1)[cp],
+                     np.asarray(m.pair_geom2)[cp]):
+    for p, g in enumerate(side_geoms):
+      g = int(g)
+      if g >= m.ngeom and v2i[g - m.ngeom] >= 0:
+        i = v2i[g - m.ngeom]
+        out[p] += float(np.sum(np.asarray(m.flex_iv_W[i]) ** 2 *
+                               iw0[np.asarray(m.flex_iv_body[i])]))
+      else:
+        out[p] += iw0[gb[g]]
+  return out
+
+
+def _vert_wdof(m):
+  """(nflexvert, 8) static weights + base dof columns for vertex motion.
+
+  Particle vertices are 1-hot on their own slide dofs; interpolated
+  (trilinear) vertices carry the 8 static node weights.  Pad entries
+  point at dof nv with weight 0 (callers allocate nv+3-wide scratch and
+  trim)."""
+  nvert = m.nflexvert
+  W = np.zeros((nvert, 8))
+  D = np.full((nvert, 8), m.nv, np.int32)
+  pd = np.asarray(m.flex_vert_dofadr)
+  has = pd >= 0
+  W[has, 0] = 1.0
+  D[has, 0] = pd[has]
+  if m.flex_iv_ids is not None:
+    W[m.flex_iv_ids] = np.asarray(m.flex_iv_W)
+    D[m.flex_iv_ids] = np.asarray(m.flex_iv_dof)
+  return W, D
 
 
 def _friction(m, d, rows, dtype):
@@ -715,6 +806,18 @@ def _contact(m, d, rows, dtype):
 
     jacp1, jacr1 = _jac(m, d, pos, body1)
     jacp2, jacr2 = _jac(m, d, pos, body2)
+
+    invweight = m.body_invweight0[body1, 0] + m.body_invweight0[body2, 0]
+    if m.flex_iv_ids is not None:
+      # interpolated flex vertices have no body: their point jacobian is
+      # the static trilinear weight pattern over node dofs (translation
+      # only) and their inverse weight blends the node inverse masses.
+      # Slot -> candidate identity holds (io rejects contact compaction
+      # with interp flexes), so the patch sites are static.
+      jacp1, jacr1 = _patch_iv_jac(m, idx, 0, jacp1, jacr1, dtype)
+      jacp2, jacr2 = _patch_iv_jac(m, idx, 1, jacp2, jacr2, dtype)
+      invweight = jnp.asarray(
+          _static_contact_invw(m, idx), dtype)
     jacp = jacp2 - jacp1  # (k, nv, 3)
     jacr = jacr2 - jacr1
 
@@ -722,8 +825,6 @@ def _contact(m, d, rows, dtype):
     Jp = jnp.einsum('kiv,kvj->kij', frame, jnp.swapaxes(jacp, 1, 2))
     Jr = jnp.einsum('kiv,kvj->kij', frame, jnp.swapaxes(jacr, 1, 2))
     # (k, 3, nv) each: rows [n, t1, t2]
-
-    invweight = m.body_invweight0[body1, 0] + m.body_invweight0[body2, 0]
     friction = con.friction[idx]
     solref = con.solref[idx]
     solreffriction = con.solreffriction[idx]

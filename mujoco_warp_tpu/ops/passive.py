@@ -357,17 +357,41 @@ _FLEX_ELEM_EDGES = {
 
 
 def _flex_vert_scatter(m, f_vert, dtype):
-  """Scatter (nflexvert, 3) world forces onto particle dofs -> (nv,)."""
-  dof = np.asarray(m.flex_vert_dofadr)
-  qfrc = jnp.zeros((m.nv,), dtype)
-  idx = np.stack([dof, dof + 1, dof + 2], axis=-1).reshape(-1)
-  return qfrc.at[idx].add(f_vert.reshape(-1))
+  """Scatter (nflexvert, 3) world forces onto dofs -> (nv,).
+
+  Particle vertices add onto their own 3 slide dofs; interpolated
+  (trilinear) vertices distribute with the static node weights
+  (qfrc_node += w * f_vert — the transpose of the vertex kinematics).
+  Particle rows with dof -1 scatter into a scratch row past nv.
+  """
+  dof = np.asarray(m.flex_vert_dofadr).copy()
+  pad = dof < 0
+  dof[pad] = m.nv  # scratch slot (trimmed below)
+  qfrc = jnp.zeros((m.nv + 1,), dtype)
+  idx = np.stack([dof, dof + 1, dof + 2], axis=-1)
+  idx[pad] = m.nv
+  qfrc = qfrc.at[idx.reshape(-1)].add(f_vert.reshape(-1))
+  if m.flex_iv_ids is not None:
+    W = jnp.asarray(m.flex_iv_W, dtype)  # (ni, 8)
+    fv = f_vert[m.flex_iv_ids]  # (ni, 3)
+    contrib = W[:, :, None] * fv[:, None, :]  # (ni, 8, 3)
+    didx = np.stack([m.flex_iv_dof + a for a in range(3)],
+                    axis=-1)  # (ni, 8, 3)
+    qfrc = qfrc.at[didx.reshape(-1)].add(contrib.reshape(-1))
+  return qfrc[:m.nv]
 
 
 def _flex_vert_vel(m, d):
-  """(nflexvert, 3) vertex velocities (particle fast path)."""
+  """(nflexvert, 3) vertex velocities."""
   dof = np.asarray(m.flex_vert_dofadr)
-  return jnp.stack([d.qvel[dof + k] for k in range(3)], axis=-1)
+  v = jnp.stack([d.qvel[np.maximum(dof, 0) + k] for k in range(3)],
+                axis=-1)
+  if m.flex_iv_ids is not None:
+    W = jnp.asarray(m.flex_iv_W, d.qvel.dtype)
+    node_v = jnp.stack([d.qvel[m.flex_iv_dof + a] for a in range(3)],
+                       axis=-1)
+    v = v.at[m.flex_iv_ids].set(jnp.einsum('nk,nki->ni', W, node_v))
+  return v
 
 
 def flex_elasticity(m: types.Model, d: types.Data, dsbl_damper: bool):
@@ -376,8 +400,11 @@ def flex_elasticity(m: types.Model, d: types.Data, dsbl_damper: bool):
   per-element metric (the 21-coefficient upper triangle)."""
   dtype = d.qpos.dtype
   f_vert = jnp.zeros((m.nflexvert, 3), dtype)
+  qfrc_interp = None
+  if m.flex_inode_dof is not None:
+    qfrc_interp = _flex_interp_elasticity(m, d, dsbl_damper, dtype)
   for fi in range(m.nflex):
-    if int(m.flex_stiffnessadr[fi]) < 0:
+    if int(m.flex_stiffnessadr[fi]) < 0 or int(m.flex_interp[fi]) != 0:
       continue
     dim = int(m.flex_dim[fi])
     nvert = dim + 1
@@ -423,7 +450,84 @@ def flex_elasticity(m: types.Model, d: types.Data, dsbl_damper: bool):
     ib = (vbase + elems[:, eedges[:, 1]]).reshape(-1)
     f_vert = f_vert.at[ia].add(fa.reshape(-1, 3))
     f_vert = f_vert.at[ib].add(fb.reshape(-1, 3))
-  return _flex_vert_scatter(m, f_vert, dtype)
+  out = _flex_vert_scatter(m, f_vert, dtype)
+  if qfrc_interp is not None:
+    out = out + qfrc_interp
+  return out
+
+
+def _polar_quat(F, dtype):
+  """Rotation of the polar decomposition of F (nif, 3, 3) as quats
+  (w, x, y, z) — fixed-iteration masked version of the reference's
+  mat33_to_quat_polar (support.py:68)."""
+  from mujoco_warp_tpu.ops import math as jmath
+  nif = F.shape[0]
+  q0 = jnp.zeros((nif, 4), dtype).at[:, 0].set(1.0)
+
+  def body(i, carry):
+    q, done = carry
+    rot = jmath.quat_to_mat(q)  # (nif, 3, 3)
+    # columns of rot vs columns of F
+    omega = jnp.zeros((nif, 3), dtype)
+    denom = jnp.zeros((nif,), dtype)
+    for c in range(3):
+      rc = rot[:, :, c]
+      fc = F[:, :, c]
+      omega = omega + jnp.cross(rc, fc)
+      denom = denom + jnp.sum(rc * fc, -1)
+    omega = omega / (jnp.abs(denom) + 1e-10)[:, None]
+    w = jnp.linalg.norm(omega, axis=-1)
+    done = done | (w < 1e-6)
+    axis = omega / jnp.maximum(w, 1e-12)[:, None]
+    half = 0.5 * w
+    qrot = jnp.concatenate(
+        [jnp.cos(half)[:, None], axis * jnp.sin(half)[:, None]], axis=-1)
+    qn = jmath.mul_quat(qrot, q)
+    qn = qn / jnp.maximum(jnp.linalg.norm(qn, axis=-1, keepdims=True),
+                          1e-12)
+    q = jnp.where(done[:, None], q, qn)
+    return q, done
+
+  q, _ = jax.lax.fori_loop(0, 50, body,
+                           (q0, jnp.zeros((nif,), bool)))
+  return q
+
+
+def _flex_interp_elasticity(m, d, dsbl_damper, dtype):
+  """Corotational cell elasticity for interpolated (trilinear) flexes
+  (reference: passive.py:822 `_flex_passive_interp`): per cell, rotate
+  node positions/velocities into the corotational frame (polar
+  decomposition of the deformation gradient at the cell center), apply
+  the 24x24 cell stiffness, rotate forces back, scatter to node dofs."""
+  from mujoco_warp_tpu.ops import math as jmath
+  x = d.xpos[m.flex_inode_body]  # (nif, 8, 3)
+  v = jnp.stack([d.qvel[m.flex_inode_dof + a] for a in range(3)],
+                axis=-1)  # (nif, 8, 3)
+  # deformation gradient at the cell center: F[r, c] = sum_k x_k[r]·G[k,c]
+  G = np.zeros((8, 3))
+  for k in range(8):
+    li, lj, lk = (k >> 2) & 1, (k >> 1) & 1, k & 1
+    G[k] = [(1.0 if li else -1.0) * 0.25,
+            (1.0 if lj else -1.0) * 0.25,
+            (1.0 if lk else -1.0) * 0.25]
+  F = jnp.einsum('nkr,kc->nrc', x, jnp.asarray(G, dtype))
+  q = _polar_quat(F, dtype)
+  R = jmath.quat_to_mat(q)  # (nif, 3, 3) world <- corotational
+
+  displ = jnp.einsum('nji,nkj->nki', R, x) - m.flex_inode0  # Rᵀx - x0
+  frc_s = jnp.einsum('nij,nj->ni', m.flex_icell_K,
+                     displ.reshape(-1, 24))
+  f_nodes = jnp.einsum('nij,nkj->nki', R, frc_s.reshape(-1, 8, 3))
+  if not dsbl_damper:
+    vrot = jnp.einsum('nji,nkj->nki', R, v)
+    frc_d = jnp.einsum('nij,nj->ni', m.flex_icell_K, vrot.reshape(-1, 24))
+    f_nodes = f_nodes + (m.flex_idamping[:, None, None] *
+                         jnp.einsum('nij,nkj->nki', R,
+                                    frc_d.reshape(-1, 8, 3)))
+  # scatter onto the node slide dofs
+  qfrc = jnp.zeros((m.nv,), dtype)
+  idx = np.stack([m.flex_inode_dof + a for a in range(3)], axis=-1)
+  return qfrc.at[idx.reshape(-1)].add(f_nodes.reshape(-1))
 
 
 def flex_bending(m: types.Model, d: types.Data, dsbl_damper: bool):

@@ -1026,14 +1026,25 @@ def flex(m: types.Model, d: types.Data) -> types.Data:
   if not m.nflex:
     return d
   vb = np.asarray(m.flex_vertbodyid)
-  xv = d.xpos[vb]  # (nflexvert, 3)
+  xv = d.xpos[np.maximum(vb, 0)]  # (nflexvert, 3)
+  dof = np.asarray(m.flex_vert_dofadr)
+  vvert = jnp.stack([d.qvel[np.maximum(dof, 0) + k] for k in range(3)],
+                    axis=-1)
+  if m.flex_iv_ids is not None:
+    # interpolated (trilinear) vertices: weighted 8-node blends
+    # (reference smooth.py:256); W/body/dof tables are static
+    W = jnp.asarray(m.flex_iv_W, xv.dtype)  # (ni, 8)
+    node_x = d.xpos[m.flex_iv_body]  # (ni, 8, 3)
+    xv = xv.at[m.flex_iv_ids].set(jnp.einsum('nk,nki->ni', W, node_x))
+    node_v = jnp.stack(
+        [d.qvel[m.flex_iv_dof + a] for a in range(3)], axis=-1)  # (ni,8,3)
+    vvert = vvert.at[m.flex_iv_ids].set(
+        jnp.einsum('nk,nki->ni', W, node_v))
   e0 = np.asarray(m.flex_edge[:, 0])
   e1 = np.asarray(m.flex_edge[:, 1])
   u = xv[e1] - xv[e0]
   length = jnp.linalg.norm(u, axis=-1)
   uhat = u / jnp.maximum(length, 1e-12)[:, None]
-  dof = np.asarray(m.flex_vert_dofadr)
-  vvert = jnp.stack([d.qvel[dof + k] for k in range(3)], axis=-1)
   vel = jnp.sum(uhat * (vvert[e1] - vvert[e0]), axis=-1)
   return d.replace(flexvert_xpos=xv, flexedge_length=length,
                    flexedge_velocity=vel)

@@ -549,6 +549,7 @@ class Model:
   nflexedge: int = field(static=True, default=0)
   nflexelem: int = field(static=True, default=0)
   flex_dim: np.ndarray = field(static=True, default=None)
+  flex_interp: np.ndarray = field(static=True, default=None)
   flex_vertadr: np.ndarray = field(static=True, default=None)
   flex_vertnum: np.ndarray = field(static=True, default=None)
   flex_edgeadr: np.ndarray = field(static=True, default=None)
@@ -565,8 +566,24 @@ class Model:
   flex_stiffnessadr: np.ndarray = field(static=True, default=None)
   flex_bendingadr: np.ndarray = field(static=True, default=None)
   flex_edgeequality: np.ndarray = field(static=True, default=None)
-  # per-vertex dof address of the 3 slide dofs (particle fast path)
+  # per-vertex dof address of the 3 slide dofs (particle fast path);
+  # -1 for interpolated (trilinear) vertices
   flex_vert_dofadr: np.ndarray = field(static=True, default=None)
+  # interpolated (nodal/trilinear) flex vertices (reference: flex_interp
+  # + eval_basis_trilinear smooth.py:256): static tables mapping each
+  # interpolated vertex to its flex's 8 corner node bodies
+  flex_iv_ids: np.ndarray = field(static=True, default=None)  # (nivert,)
+  flex_iv_W: np.ndarray = field(static=True, default=None)  # (nivert, 8)
+  flex_iv_body: np.ndarray = field(static=True, default=None)  # (nivert, 8)
+  flex_iv_dof: np.ndarray = field(static=True, default=None)  # (nivert, 8)
+  # per-interp-flex corotational cell elasticity (reference:
+  # passive.py:822 `_flex_passive_interp`): 8 node bodies/dofs, rest
+  # node positions, the 24x24 cell stiffness, damping
+  flex_inode_dof: np.ndarray = field(static=True, default=None)  # (nif, 8)
+  flex_inode_body: np.ndarray = field(static=True, default=None)  # (nif, 8)
+  flex_inode0: Array = None  # (nif, 8, 3)
+  flex_icell_K: Array = None  # (nif, 24, 24)
+  flex_idamping: Array = None  # (nif,)
   flex_stiffness: Array = None  # (nflexelem*21,)
   flex_bending: Array = None  # (nflexedge*17,)
   flex_damping: Array = None  # (nflex,)
