@@ -91,6 +91,16 @@ def build(mjm, nworld: int, seed: int = 0, nconmax={1: 12, 3: 24},
   __init__.py nconmax=24) because our slots are per-condim-class rather
   than shared.
   """
+  # opt.cone is baked into the static EFC layout at put_model time —
+  # apply it to the MuJoCo model up front; everything else goes through
+  # override_model (which sweeps array fields without recompiling)
+  overrides = list(overrides)
+  for ov in list(overrides):
+    key, val = ov.split('=')
+    if key == 'opt.cone':
+      mjm.opt.cone = int(io._ENUM_VALUES['cone'][val.lower()]
+                         if not val.isdigit() else int(val))
+      overrides.remove(ov)
   m = io.put_model(mjm, nconmax=nconmax)
   if overrides:
     m = io.override_model(m, list(overrides))

@@ -1483,6 +1483,13 @@ def override_model(m: types.Model, overrides) -> types.Model:
                                 '(only opt.* for now)')
     name = parts[1]
     cur = getattr(m.opt, name)
+    if name == 'cone':
+      # the friction-cone type is baked into the static EFC layout
+      # (_efc_layout row types/counts); flipping it post-put_model would
+      # leave pyramidal rows under an elliptic solver (or vice versa)
+      raise ValueError('opt.cone is baked into the EFC layout at '
+                       'put_model time; set mjm.opt.cone before '
+                       'put_model instead of overriding it')
     if name in _ENUM_VALUES and not val.lstrip('-').isdigit():
       new = int(_ENUM_VALUES[name][val.lower()])
     elif isinstance(cur, (int, bool)):

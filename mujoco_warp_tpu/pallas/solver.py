@@ -15,9 +15,12 @@ lane math) rather than dot_general — per-world matrices are far below MXU
 tile size, so the MXU path would waste >95% of the systolic array; on
 lanes every unit of work is real.
 
-Scope (v1): Newton solver, pyramidal/frictionless cones, dense
-fits-in-VMEM systems.  Elliptic cones and CG fall back to the jnp path
-(ops/solver.py).  Per-world scalars are kept as (1, W) tiles.
+Scope: Newton solver, pyramidal/frictionless AND elliptic cones, dense
+fits-in-VMEM systems.  CG falls back to the jnp path (ops/solver.py).
+Elliptic middle-zone cone curvature enters H as per-contact dim×dim
+blocks folded into the same JᵀWJ row loop; the linesearch carries the
+per-contact cone segments (reference solver.py:344-561, 2398-2518).
+Per-world scalars are kept as (1, W) tiles.
 """
 
 from __future__ import annotations
@@ -45,10 +48,48 @@ def _use_big(m: types.Model) -> bool:
   return m.nefc * m.nv > _UNROLL_LIMIT
 
 
+def _ell_perm(m: types.Model):
+  """Static EFC row permutation canonicalizing elliptic contact rows.
+
+  The kernel wants elliptic contacts as a few contiguous per-condim tail
+  blocks; the model's slot order interleaves condims (candidate-pair
+  order).  Returns ``(perm, invperm, groups, nhead)`` where ``perm`` maps
+  canonical row -> model row (non-elliptic rows keep relative order as
+  the prefix, then elliptic contacts grouped by condim, contact-major),
+  and ``groups = [(dim, row0, con_ids)]`` in canonical rows.  None when
+  the model has no elliptic contacts (pyramidal or condim-1-only).
+  Row order is irrelevant to the solve itself — permuting J/D/aref/fl in
+  and efc_force out is exact.
+  """
+  if not m.ncon or m.opt.cone != types.ConeType.ELLIPTIC:
+    return None
+  dims = np.asarray(m.con_dim)
+  adr = np.asarray(m.con_efc_address)
+  ell = np.nonzero(dims > 1)[0]
+  if not len(ell):
+    return None
+  mask = np.ones(m.nefc, bool)
+  for i in ell:
+    mask[adr[i]:adr[i] + dims[i]] = False
+  head = np.nonzero(mask)[0]
+  order = [head]
+  groups = []
+  row0 = len(head)
+  for d0 in sorted(set(int(x) for x in dims[ell])):
+    ids = ell[dims[ell] == d0]
+    rows = np.concatenate(
+        [np.arange(adr[i], adr[i] + d0) for i in ids])
+    order.append(rows)
+    groups.append((d0, row0, ids))
+    row0 += len(rows)
+  perm = np.concatenate(order).astype(np.int32)
+  inv = np.empty_like(perm)
+  inv[perm] = np.arange(len(perm), dtype=np.int32)
+  return perm, inv, groups, len(head)
+
+
 def supported(m: types.Model, d: types.Data) -> bool:
   if m.opt.solver != types.SolverType.NEWTON:
-    return False
-  if m.opt.cone == types.ConeType.ELLIPTIC:
     return False
   if m.nefc == 0 or (m.opt.disableflags & types.DisableBit.CONSTRAINT):
     return False
@@ -208,7 +249,7 @@ def _chol_solve_big(LT_scr, LR_scr, b, nv):
 
 def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
                qacc_in, w_eq, w_fri, tol, ls_tol, meaninertia, launder,
-               big=None, diag=None):
+               big=None, diag=None, ell=None):
   """Newton solve on one world tile, lanes-last (reference solver.py:3715).
 
   Pure function over VMEM values so both the standalone solver kernel and
@@ -233,6 +274,18 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
   on the diagonal and J·v on one dof, so declaring them cuts the
   per-slot assembly and the O(nefc·nv²) H work to the dense rows alone.
   Not supported together with ``big``.
+
+  ``ell`` enables elliptic friction cones (reference solver.py:344-561
+  elliptic evals + 2398-2518 cone Hessian): a dict with ``groups`` (the
+  static ``(dim, row0, n)`` per-condim blocks from ``_ell_perm``) and
+  ``fric`` — a (sum n·dim, W) VMEM value whose per-contact rows hold
+  [mu·mu_scale, friction_1..friction_{dim-1}], i.e. the per-row scale
+  s such that (s·Jaref)[0] = N and (s·Jaref)[1:] = u.  The middle-zone
+  cone curvature enters the Newton H as symmetric per-contact dim×dim
+  blocks folded into the same JᵀWJ row loop (W generalizes from the
+  diagonal Dq to block-diagonal); the linesearch adds the per-contact
+  cone-zone segments.  Elliptic rows must be the EFC tail and are not
+  supported together with ``big`` or ``diag``.
   """
   nv = m.nv
   nl = len(diag) if diag else 0
@@ -262,6 +315,42 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
     diag_by_dof = {}
     for r, (dof, _) in enumerate(diag or ()):
       diag_by_dof.setdefault(dof, []).append(r)
+
+    # elliptic groups: reshape the contiguous tail blocks once
+    egroups = ell['groups'] if ell else []
+    if egroups:
+      assert big is None and nl == 0, 'elliptic needs the dense layout'
+      nhead = egroups[0][1]  # all elliptic rows trail the head rows
+      efric = ell['fric']
+      svals, Dells = [], []
+      off = 0
+      for (gd, row0, gn) in egroups:
+        assert row0 == nhead + off, 'elliptic blocks must be contiguous'
+        svals.append(efric[off:off + gn * gd].reshape(gn, gd, -1))
+        Dells.append(D[row0:row0 + gn * gd].reshape(gn, gd, -1))
+        off += gn * gd
+      assert nhead + off == nefc, 'elliptic rows must be the EFC tail'
+    else:
+      nhead = nefc
+
+    has_head = nhead > 0  # zero-size slices are not Mosaic-legal
+
+    def _esplit(x):
+      """(nefc, W) -> (head (nhead, W) or None, [(n, dim, W) per group])."""
+      if not egroups:
+        return x, []
+      parts = [x[row0:row0 + gn * gd].reshape(gn, gd, -1)
+               for (gd, row0, gn) in egroups]
+      return (x[:nhead] if has_head else None), parts
+
+    def _ejoin(head, parts):
+      """Inverse of _esplit."""
+      if not egroups:
+        return head
+      flat = [p.reshape(p.shape[0] * p.shape[1], -1) for p in parts]
+      if head is None:
+        return flat[0] if len(flat) == 1 else jnp.concatenate(flat, 0)
+      return jnp.concatenate([head] + flat, axis=0)
 
     def mat_vec_M(v):  # (nv, W) -> (nv, W)
       return jnp.sum(M * v[None, :, :], axis=1)
@@ -309,22 +398,101 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
             axis=0)
 
     def update_constraint(Jaref):
-      act = (Jaref < 0.0).astype(dtype)
-      nDJ = -D * Jaref
-      f = jnp.where(w_eq > 0, nDJ, nDJ * act) if has_eq else nDJ * act
-      q = jnp.where(w_eq > 0, 1.0, act) if has_eq else act
-      if has_fri:
-        f_fri = jnp.where(Jaref <= -rf, fl,
-                          jnp.where(Jaref >= rf, -fl, nDJ))
-        q_fri = ((Jaref > -rf) & (Jaref < rf)).astype(dtype)
-        f = jnp.where(w_fri > 0, f_fri, f)
-        q = jnp.where(w_fri > 0, q_fri, q)
-      return f, q
+      f = q = None
+      if has_head:
+        Jh = Jaref[:nhead] if egroups else Jaref
+        Dh = D[:nhead] if egroups else D
+        act = (Jh < 0.0).astype(dtype)
+        nDJ = -Dh * Jh
+        if has_eq:
+          weh = w_eq[:nhead] if egroups else w_eq
+          f = jnp.where(weh > 0, nDJ, nDJ * act)
+          q = jnp.where(weh > 0, 1.0, act)
+        else:
+          f = nDJ * act
+          q = act
+        if has_fri:
+          wfh = w_fri[:nhead] if egroups else w_fri
+          rfh = rf[:nhead] if egroups else rf
+          flh = fl[:nhead] if egroups else fl
+          f_fri = jnp.where(Jh <= -rfh, flh,
+                            jnp.where(Jh >= rfh, -flh, nDJ))
+          q_fri = ((Jh > -rfh) & (Jh < rfh)).astype(dtype)
+          f = jnp.where(wfh > 0, f_fri, f)
+          q = jnp.where(wfh > 0, q_fri, q)
+      if not egroups:
+        return f, q, None
 
-    def gradient(Ma, force, quad):
+      # elliptic contacts (reference _eval_constraint:404-465): zones per
+      # contact from N = mu·Jaref[normal] and T = |u|, u_j = f_j·Jaref[j]
+      fparts, qparts, cone = [], [], []
+      for g, (gd, row0, gn) in enumerate(egroups):
+        jar = Jaref[row0:row0 + gn * gd].reshape(gn, gd, -1)
+        s = svals[g]          # (n, dim, W); row 0 = mu (impratio-scaled)
+        Dc = Dells[g]
+        mu = s[:, 0]
+        su = jar * s          # su[:, 0] = N, su[:, 1:] = u
+        N = su[:, 0]
+        TT = jnp.sum(su[:, 1:] * su[:, 1:], axis=1)
+        T = jnp.sqrt(jnp.maximum(TT, 0.0))
+        top = (N >= mu * T) | ((TT <= 0.0) & (N >= 0.0))
+        bottom = ((mu * N + T <= 0.0) | ((TT <= 0.0) & (N < 0.0))) & ~top
+        mid = (~top & ~bottom).astype(dtype)
+        dm = _sdiv(Dc[:, 0], mu * mu * (1.0 + mu * mu))
+        nmt = N - mu * T
+        f_normal = -dm * nmt * mu
+        f_tan = -_sdiv(f_normal, T)[:, None] * su[:, 1:] * s[:, 1:]
+        f_quad = -Dc * jar
+        f_cone = jnp.concatenate([f_normal[:, None], f_tan], axis=1)
+        fparts.append(jnp.where(top[:, None], 0.0,
+                                jnp.where(bottom[:, None], f_quad,
+                                          f_cone)))
+        qparts.append(jnp.broadcast_to(
+            bottom[:, None].astype(dtype), jar.shape))
+        # middle-zone cone block coefficients C (dim x dim, symmetric):
+        # H_c = dm · [J rows]ᵀ C [J rows] with (q_j = u_j f_j)
+        #   C00 = mu², C0j = -(mu²/t) q_j,
+        #   Cjk = (mu N/t³) q_j q_k + (mu² - N mu/t) f_j² δjk
+        w = dm * mid * (dm != 0.0).astype(dtype)
+        t = jnp.maximum(T, _MINVAL)
+        ttt = jnp.maximum(t * t * t, _MINVAL)
+        qv = su[:, 1:] * s[:, 1:]      # (n, dim-1, W)
+        f2 = s[:, 1:] * s[:, 1:]
+        cone.append(dict(
+            C00=w * mu * mu,
+            C0=(-w * mu * mu / t)[:, None] * qv,
+            pp=w * mu * N / ttt,
+            dg=w * (mu * mu - N * mu / t),
+            qv=qv, f2=f2))
+      return _ejoin(f, fparts), _ejoin(q, qparts), cone
+
+    def gradient(Ma, force, quad, cone=None):
       qfrc_c = JT_vec(force)
       grad = Ma - qfrc_smooth - qfrc_c
       Dq = D * quad  # (nefc, W)
+
+      def _cone_col(i):
+        """Middle-zone cone-block correction to column i of J·W.
+
+        Returns the (nefc, W) vector to ADD to Dq·J[:, i] so the H loop
+        computes Jᵀ(diag(Dq) + blockdiag(C))J — the diagonal part is zero
+        on cone rows (quad masks them out), so the block is additive.
+        """
+        parts = []
+        for g, (gd, row0, gn) in enumerate(egroups):
+          Jcol = J[row0:row0 + gn * gd, i, :].reshape(gn, gd, -1)
+          c = cone[g]
+          pJ = jnp.sum(c['qv'] * Jcol[:, 1:], axis=1)  # p · column
+          r0c = c['C00'] * Jcol[:, 0] + jnp.sum(c['C0'] * Jcol[:, 1:],
+                                                axis=1)
+          rjc = (c['C0'] * Jcol[:, 0:1] + c['pp'][:, None] *
+                 c['qv'] * pJ[:, None] + c['dg'][:, None] *
+                 c['f2'] * Jcol[:, 1:])
+          parts.append(jnp.concatenate([r0c[:, None], rjc], axis=1))
+        return _ejoin(
+            jnp.zeros((nhead, Dq.shape[-1]), dtype) if has_head else None,
+            parts)
+
       if big is None:
         # fold D into the i-row so no (nefc, nv, W) J·D copy is
         # materialized (VMEM peak would double otherwise).  Only the lower
@@ -336,7 +504,10 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
         Hrows = []
         for i in range(nv):
           if ncr:
-            low = jnp.sum((J[:, i, :] * Dqc)[:, None, :] * J[:, :i + 1, :],
+            JDi = J[:, i, :] * Dqc
+            if egroups:
+              JDi = JDi + _cone_col(i)
+            low = jnp.sum(JDi[:, None, :] * J[:, :i + 1, :],
                           axis=0)  # (i+1, W)
           else:
             low = jnp.zeros((i + 1, W), dtype)
@@ -391,21 +562,140 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
 
       # ---- alpha-independent row quantities, hoisted out of the eval
       # loop (each eval runs 3x per ls trip; recomputing these per eval
-      # tripled the dominant instruction count)
-      jvD = jv * D
-      grad0 = jvD * Jaref
-      hess = jv * jvD
-      quad0 = 0.5 * D * Jaref * Jaref
-      cost0 = quad0 * (Jaref < 0.0).astype(dtype)
-      offset = quad0 - cost0
+      # tripled the dominant instruction count).  Head rows only: the
+      # elliptic tail is handled by the per-contact segments below.
+      if egroups:
+        Jah, jar_e = _esplit(Jaref)
+        jvh, jv_e = _esplit(jv)
+        Dh = D[:nhead] if has_head else None
+      else:
+        Jah, jvh, Dh = Jaref, jv, D
+      if has_head:
+        jvD = jvh * Dh
+        grad0 = jvD * Jah
+        hess = jvh * jvD
+        quad0 = 0.5 * Dh * Jah * Jah
+        cost0 = quad0 * (Jah < 0.0).astype(dtype)
+        offset = quad0 - cost0
       if has_fri:
-        cf0 = jnp.where((-rf < Jaref) & (Jaref < rf), quad0,
-                        jnp.where(Jaref <= -rf, fl * (-0.5 * rf - Jaref),
-                                  fl * (-0.5 * rf + Jaref)))
+        rfh = rf[:nhead] if egroups else rf
+        flh = fl[:nhead] if egroups else fl
+        cf0 = jnp.where((-rfh < Jah) & (Jah < rfh), quad0,
+                        jnp.where(Jah <= -rfh,
+                                  flh * (-0.5 * rfh - Jah),
+                                  flh * (-0.5 * rfh + Jah)))
+
+      # ---- per-elliptic-contact linesearch coefficients (reference
+      # solver.py:942-994) + alpha=0 reference zones (274-297)
+      ecoef = []
+      for g, (gd, row0, gn) in enumerate(egroups):
+        jar, jvc, s, Dc = jar_e[g], jv_e[g], svals[g], Dells[g]
+        mu = s[:, 0]
+        DJ = Dc * jar
+        q0e = jnp.sum(0.5 * jar * DJ, axis=1)
+        q1e = jnp.sum(jvc * DJ, axis=1)
+        q2e = jnp.sum(0.5 * jvc * Dc * jvc, axis=1)
+        su = jar * s
+        sv = jvc * s
+        u0 = su[:, 0]
+        v0 = sv[:, 0]
+        uu = jnp.sum(su[:, 1:] * su[:, 1:], axis=1)
+        uv = jnp.sum(su[:, 1:] * sv[:, 1:], axis=1)
+        vv = jnp.sum(sv[:, 1:] * sv[:, 1:], axis=1)
+        dm = _sdiv(Dc[:, 0], mu * mu * (1.0 + mu * mu))
+        T0 = jnp.sqrt(jnp.maximum(uu, 0.0))
+        # boolean-branch selects must be logic ops (Mosaic cannot lower
+        # arith.select on i1 vectors — i8->i1 trunci is unsupported)
+        no_t = uu <= 0.0
+        sat = (no_t & (u0 >= 0.0)) | (~no_t & (u0 >= mu * T0))
+        qz = (no_t & (u0 < 0.0)) | (~no_t & (mu * u0 + T0 <= 0.0))
+        s0_quad = (qz & ~sat).astype(dtype)
+        s0_cone = (~sat & ~qz).astype(dtype)
+        r0r = u0 - mu * T0
+        cost0e = (1.0 - sat.astype(dtype)) * jnp.where(
+            qz & ~sat, q0e, 0.5 * dm * r0r * r0r)
+        ecoef.append(dict(mu=mu, q0=q0e, q1=q1e, q2=q2e, u0=u0, v0=v0,
+                          uu=uu, uv=uv, vv=vv, dm=dm, T0=T0,
+                          cost0=cost0e, r0=s0_cone * r0r,
+                          s0_quad=s0_quad, s0_cone=s0_cone))
+
+      def _ell_ev(alpha):
+        """Per-contact elliptic (Δcost, φ', φ'') sums (reference
+        _eval_elliptic_shifted:344-401)."""
+        cs = gs = hs = 0.0
+        for c in ecoef:
+          mu, dm = c['mu'], c['dm']
+          N = c['u0'] + alpha * c['v0']
+          Tsqr_delta = alpha * (2.0 * c['uv'] + alpha * c['vv'])
+          Tsqr = c['uu'] + Tsqr_delta
+          T = jnp.sqrt(jnp.maximum(Tsqr, 0.0))
+          no_t = Tsqr <= 0.0
+          in_quad = (no_t & (N < 0.0)) | (~no_t & (mu * N + T <= 0.0))
+          in_top = ~no_t & (N >= mu * T)
+          in_mid = ~no_t & ~in_top & ~in_quad
+          aq2 = alpha * c['q2']
+          boundary = mu * N + T
+          gap = 0.5 * dm * boundary * boundary
+          c_q = alpha * (aq2 + c['q1']) + (
+              c['s0_cone'] * 0.5 * dm * (mu * c['u0'] + c['T0']) ** 2 +
+              (1.0 - c['s0_cone'] - c['s0_quad']) * 0.5 * dm *
+              (1.0 + mu * mu) * (N * N + jnp.maximum(Tsqr, 0.0)))
+          g_q = 2.0 * aq2 + c['q1']
+          h_q = 2.0 * c['q2']
+          T_inv = 1.0 / jnp.maximum(T, _MINVAL)
+          T1 = (c['uv'] + alpha * c['vv']) * T_inv
+          T2 = (c['vv'] - T1 * T1) * T_inv
+          r = N - mu * T
+          r1 = c['v0'] - mu * T1
+          T_delta = Tsqr_delta / jnp.maximum(T + c['T0'], _MINVAL)
+          r_delta = alpha * c['v0'] - mu * T_delta
+          c_m = (c['s0_cone'] * 0.5 * dm * r_delta *
+                 (2.0 * c['r0'] + r_delta) +
+                 c['s0_quad'] * (alpha * (aq2 + c['q1']) - gap) +
+                 (1.0 - c['s0_cone'] - c['s0_quad']) * 0.5 * dm * r * r)
+          g_m = dm * r * r1
+          h_m = dm * (r1 * r1 + r * (-mu * T2))
+          c_e = jnp.where(in_quad, c_q,
+                          jnp.where(in_mid, c_m, -c['cost0']))
+          g_e = jnp.where(in_quad, g_q, jnp.where(in_mid, g_m, 0.0))
+          h_e = jnp.where(in_quad, h_q, jnp.where(in_mid, h_m, 0.0))
+          cs = cs + jnp.sum(c_e, axis=0, keepdims=True)
+          gs = gs + jnp.sum(g_e, axis=0, keepdims=True)
+          hs = hs + jnp.sum(h_e, axis=0, keepdims=True)
+        return cs, gs, hs
+
+      def _ell_p0():
+        """φ'(0), φ''(0) elliptic terms (reference:301-312)."""
+        gs = hs = 0.0
+        for c in ecoef:
+          mu, dm = c['mu'], c['dm']
+          T0_inv = 1.0 / jnp.maximum(c['T0'], _MINVAL)
+          T1 = c['uv'] * T0_inv
+          T2 = (c['vv'] - T1 * T1) * T0_inv
+          r1 = c['v0'] - mu * T1
+          g_m = dm * c['r0'] * r1
+          h_m = dm * (r1 * r1 - mu * c['r0'] * T2)
+          g_e = c['s0_quad'] * c['q1'] + c['s0_cone'] * g_m
+          h_e = c['s0_quad'] * 2.0 * c['q2'] + c['s0_cone'] * h_m
+          gs = gs + jnp.sum(g_e, axis=0, keepdims=True)
+          hs = hs + jnp.sum(h_e, axis=0, keepdims=True)
+        return gs, hs
+
+      if egroups:
+        weh = w_eq[:nhead] if has_eq else None
+        wfh = w_fri[:nhead] if has_fri else None
+        wqh = w_ql[:nhead] if (has_eq or has_fri) else None
+      else:
+        weh, wfh, wqh = w_eq, w_fri, w_ql
 
       def ev(alpha):
         """alpha (1, W) -> (Δcost, φ', φ'') each (1, W)."""
-        x = Jaref + alpha * jv
+        if not has_head:
+          ce, ge, he = _ell_ev(alpha)
+          return (ce + alpha * alpha * g2 + alpha * g1,
+                  ge + 2.0 * alpha * g2 + g1,
+                  he + 2.0 * g2)
+        x = Jah + alpha * jvh
         g_eq = grad0 + alpha * hess
         c_eq = 0.5 * alpha * (grad0 + g_eq)
         on = (x < 0.0).astype(dtype)
@@ -414,51 +704,64 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
         h_ql = hess * on
 
         if has_eq or has_fri:
-          c = w_ql * c_ql
-          g = w_ql * g_ql
-          h = w_ql * h_ql
+          c = wqh * c_ql
+          g = wqh * g_ql
+          h = wqh * h_ql
           if has_eq:
-            c = c + w_eq * c_eq
-            g = g + w_eq * g_eq
-            h = h + w_eq * hess
+            c = c + weh * c_eq
+            g = g + weh * g_eq
+            h = h + weh * hess
           if has_fri:
-            mid = (-rf < x) & (x < rf)
-            cf = jnp.where(mid, 0.5 * D * x * x,
-                           jnp.where(x <= -rf, fl * (-0.5 * rf - x),
-                                     fl * (-0.5 * rf + x)))
+            mid = (-rfh < x) & (x < rfh)
+            cf = jnp.where(mid, 0.5 * Dh * x * x,
+                           jnp.where(x <= -rfh, flh * (-0.5 * rfh - x),
+                                     flh * (-0.5 * rfh + x)))
             gf = jnp.where(mid, jvD * x,
-                           jnp.where(x <= -rf, -fl * jv, fl * jv))
+                           jnp.where(x <= -rfh, -flh * jvh, flh * jvh))
             hf = hess * mid.astype(dtype)
-            c = c + w_fri * (cf - cf0)
-            g = g + w_fri * gf
-            h = h + w_fri * hf
+            c = c + wfh * (cf - cf0)
+            g = g + wfh * gf
+            h = h + wfh * hf
         else:
           c, g, h = c_ql, g_ql, h_ql
         cost = jnp.sum(c, axis=0, keepdims=True) + alpha * alpha * g2 + \
             alpha * g1
         grad = jnp.sum(g, axis=0, keepdims=True) + 2.0 * alpha * g2 + g1
         hessian = jnp.sum(h, axis=0, keepdims=True) + 2.0 * g2
+        if egroups:
+          ce, ge, he = _ell_ev(alpha)
+          cost = cost + ce
+          grad = grad + ge
+          hessian = hessian + he
         return cost, grad, hessian
 
       def eval_p0():
-        on = (Jaref < 0.0).astype(dtype)
+        if not has_head:
+          ge, he = _ell_p0()
+          return ge + g1, he + 2.0 * g2
+        on = (Jah < 0.0).astype(dtype)
         if has_eq or has_fri:
-          g = w_ql * grad0 * on
-          h = w_ql * hess * on
+          g = wqh * grad0 * on
+          h = wqh * hess * on
           if has_eq:
-            g = g + w_eq * grad0
-            h = h + w_eq * hess
+            g = g + weh * grad0
+            h = h + weh * hess
           if has_fri:
-            mid = ((-rf < Jaref) & (Jaref < rf)).astype(dtype)
+            mid = ((-rfh < Jah) & (Jah < rfh)).astype(dtype)
             g_fr = mid * grad0 + (1 - mid) * jnp.where(
-                Jaref <= -rf, -fl * jv, fl * jv)
-            g = g + w_fri * g_fr
-            h = h + w_fri * hess * mid
+                Jah <= -rfh, -flh * jvh, flh * jvh)
+            g = g + wfh * g_fr
+            h = h + wfh * hess * mid
         else:
           g = grad0 * on
           h = hess * on
-        return (jnp.sum(g, 0, keepdims=True) + g1,
-                jnp.sum(h, 0, keepdims=True) + 2.0 * g2)
+        gs = jnp.sum(g, 0, keepdims=True) + g1
+        hs = jnp.sum(h, 0, keepdims=True) + 2.0 * g2
+        if egroups:
+          ge, he = _ell_p0()
+          gs = gs + ge
+          hs = hs + he
+        return gs, hs
 
       p1, p2 = eval_p0()
       p0c = jnp.zeros_like(p1)
@@ -552,8 +855,8 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
     # ---- init
     Jaref = J_vec(qacc_in) - aref
     Ma = mat_vec_M(qacc_in)
-    force, quad = update_constraint(Jaref)
-    grad, Mgrad = gradient(Ma, force, quad)
+    force, quad, cone = update_constraint(Jaref)
+    grad, Mgrad = gradient(Ma, force, quad, cone)
     search = -Mgrad
 
     def newton_body(carry):
@@ -562,8 +865,8 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
       qacc_n = qacc + alpha * search
       Ma_n = Ma + alpha * mv
       Jaref_n = Jaref + alpha * jv
-      force_n, quad_n = update_constraint(Jaref_n)
-      grad_n, Mgrad_n = gradient(Ma_n, force_n, quad_n)
+      force_n, quad_n, cone_n = update_constraint(Jaref_n)
+      grad_n, Mgrad_n = gradient(Ma_n, force_n, quad_n, cone_n)
       search_n = -Mgrad_n
 
       # done/niter are carried as f32 with anchored layouts: Mosaic cannot
@@ -607,16 +910,18 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
     return carry[0], carry[3], carry[5]
 
 
-def _make_kernel(m: types.Model, dtype):
+def _make_kernel(m: types.Model, dtype, egroups=()):
   nefc, nv = m.nefc, m.nv
   is_eq, is_fri = _masks(m)
   eq_any, fri_any = bool(is_eq.any()), bool(is_fri.any())
   use_big = _use_big(m)
 
   def kernel(J_ref, D_ref, aref_ref, fl_ref, M_ref, qfrc_smooth_ref,
-             qacc0_ref, w_eq_ref, w_fri_ref, tol_ref, ls_tol_ref,
-             meaninertia_ref, qacc_out, force_out, qfrc_c_out,
-             niter_out, scr_ref, *big_scr):
+             qacc0_ref, w_eq_ref, w_fri_ref, *rest):
+    if egroups:
+      fric_ref, rest = rest[0], rest[1:]
+    (tol_ref, ls_tol_ref, meaninertia_ref, qacc_out, force_out,
+     qfrc_c_out, niter_out, scr_ref, *big_scr) = rest
     def _launder(x, row):
       # normalize the Mosaic layout of a (1, W) per-world scalar by
       # round-tripping through VMEM scratch: reduction results carry
@@ -629,13 +934,18 @@ def _make_kernel(m: types.Model, dtype):
     big = None
     if use_big:
       big = dict(J_ref=J_ref, H=big_scr[0], LT=big_scr[1], LR=big_scr[2])
+    ell = None
+    if egroups:
+      ell = dict(groups=[(gd, row0, len(ids))
+                         for (gd, row0, ids) in egroups],
+                 fric=fric_ref[:])
     qacc_f, force_f, niter_f = solve_core(
         m, dtype, J, D_ref[:], aref_ref[:], fl_ref[:], M_ref[:],
         qfrc_smooth_ref[:], qacc0_ref[:],
         w_eq_ref[:] if eq_any else None,
         w_fri_ref[:] if fri_any else None,
         tol_ref[0, 0], ls_tol_ref[0, 0], meaninertia_ref[0, 0], _launder,
-        big=big)
+        big=big, ell=ell)
 
     qacc_out[:] = qacc_f
     force_out[:] = force_f
@@ -651,7 +961,8 @@ def _make_kernel(m: types.Model, dtype):
 
 
 def _solve_tiles(m: types.Model, J, D, aref, fl, M, qfrc_smooth, qacc0,
-                 tol, ls_tol, meaninertia, interpret=False):
+                 tol, ls_tol, meaninertia, fric=None, perm=None,
+                 egroups=(), interpret=False):
   dtype = J.dtype
   W = J.shape[-1]
   nv, nefc = m.nv, m.nefc
@@ -666,21 +977,28 @@ def _solve_tiles(m: types.Model, J, D, aref, fl, M, qfrc_smooth, qacc0,
   mask_spec = pl.BlockSpec((nefc, 1), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
   is_eq, is_fri = _masks(m)
+  if perm is not None:
+    is_eq, is_fri = is_eq[perm], is_fri[perm]
   w_eq = jnp.asarray(is_eq.astype(np.float32), dtype)[:, None]
   w_fri = jnp.asarray(is_fri.astype(np.float32), dtype)[:, None]
-  kernel = _make_kernel(m, dtype)
+  kernel = _make_kernel(m, dtype, egroups=egroups)
   scratch = [pltpu.VMEM((8, TILE_W), dtype)]
   j_spec = bw(nefc, nv)
   if _use_big(m):
     j_spec = bw(nv, nefc)
     scratch += [pltpu.VMEM((nv, nv, TILE_W), dtype) for _ in range(3)]
+  in_specs = [j_spec, bw(nefc), bw(nefc), bw(nefc), bw(nv, nv), bw(nv),
+              bw(nv), mask_spec, mask_spec]
+  args = [J, D, aref, fl, M, qfrc_smooth, qacc0, w_eq, w_fri]
+  if fric is not None:
+    in_specs.append(bw(fric.shape[0]))
+    args.append(fric)
+  in_specs += [smem, smem, smem]
+  args += [tol, ls_tol, meaninertia]
   qacc, force, qfrc_c, niter = pl.pallas_call(
       kernel,
       grid=(W // TILE_W,),
-      in_specs=[
-          j_spec, bw(nefc), bw(nefc), bw(nefc), bw(nv, nv), bw(nv),
-          bw(nv), mask_spec, mask_spec, smem, smem, smem,
-      ],
+      in_specs=in_specs,
       out_specs=[bw(nv), bw(nefc), bw(nv), bw(1)],
       out_shape=[
           jax.ShapeDtypeStruct((nv, W), dtype),
@@ -692,8 +1010,7 @@ def _solve_tiles(m: types.Model, J, D, aref, fl, M, qfrc_smooth, qacc0,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
-  )(J, D, aref, fl, M, qfrc_smooth, qacc0, w_eq, w_fri, tol, ls_tol,
-    meaninertia)
+  )(*args)
   return qacc, force, qfrc_c, niter
 
 
@@ -719,10 +1036,32 @@ def solve_batched(m: types.Model, d: types.Data,
   ls_tol = m.opt.ls_tolerance.astype(dtype).reshape(1, 1)
   meaninertia = m.stat.meaninertia.astype(dtype).reshape(1, 1)
 
+  # elliptic cones: canonicalize rows to [head | per-condim blocks] via a
+  # static permutation (slot order interleaves condims), and ship the
+  # per-contact row scales s = [mu·mu_scale, f_1..f_{d-1}] as an input
+  fric = perm = invperm = None
+  egroups = ()
+  ep = _ell_perm(m)
+  if ep is not None:
+    assert not _use_big(m), 'elliptic cones need the unrolled layout'
+    perm, invperm, egroups, _nhead = ep
+    J, D, aref, fl = J[perm], D[perm], aref[perm], fl[perm]
+    mu_scale = 1.0 / jnp.sqrt(jnp.maximum(m.opt.impratio.astype(dtype),
+                                          _MINVAL))
+    cfric = jnp.moveaxis(d.contact.friction, 0, -1)  # (ncon, 5, W)
+    parts = []
+    for (gd, _row0, ids) in egroups:
+      f = cfric[ids]
+      s = jnp.concatenate([f[:, 0:1] * mu_scale, f[:, :gd - 1]], axis=1)
+      parts.append(s.reshape(len(ids) * gd, -1).astype(dtype))
+    fric = jnp.concatenate(parts, axis=0)
+
   qacc, force, qfrc_c, niter = _solve_tiles(
       m, J, D, aref, fl, M, qfrc_smooth, qacc0, tol, ls_tol, meaninertia,
-      interpret=interpret)
+      fric=fric, perm=perm, egroups=egroups, interpret=interpret)
 
+  if invperm is not None:
+    force = force[invperm]
   qacc_w = qacc.T
   force_w = force.T
   qfrc_constraint = qfrc_c.T

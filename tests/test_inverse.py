@@ -43,6 +43,11 @@ def test_override_model():
   assert m2.opt.solver == 1
   assert m2.opt.iterations == 30
   assert abs(float(m2.opt.timestep) - 0.002) < 1e-9
+  # opt.cone is baked into the static EFC row layout at put_model time;
+  # a post-hoc flip would run elliptic zone logic over pyramidal rows
+  import pytest
+  with pytest.raises(ValueError, match='cone'):
+    io.override_model(m, ['opt.cone=elliptic'])
 
 
 def test_cg_solver():

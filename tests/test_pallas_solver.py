@@ -19,6 +19,13 @@ from tests.oracle import assert_close
 @pytest.mark.parametrize('fname,kw', [
     ('spheres.xml', dict(qvel_noise=0.5, nstep=20)),
     ('constraints.xml', dict(qpos_noise=0.3, qvel_noise=0.5, nstep=3)),
+    # elliptic cones: condim 1/3/4/6 zoo -> multiple per-condim elliptic
+    # groups (cone blocks in H + cone linesearch segments)
+    ('spheres.xml', dict(qvel_noise=0.5, nstep=20,
+                         overrides=('opt.cone=1',))),
+    # elliptic alongside equality/limit/friction head rows
+    ('constraints.xml', dict(qpos_noise=0.3, qvel_noise=0.5, nstep=3,
+                             overrides=('opt.cone=1',))),
 ])
 def test_pallas_vs_jnp(fname, kw):
   mjm, mjd, m, d = models.fixture(fname, **kw)
