@@ -962,7 +962,7 @@ def _identity_con_xla(m: types.Model, dist, cpos, cframe, stcom, dtype):
   return con, jnp.zeros((1, W), jnp.int32)
 
 
-def _make_k1(m: types.Model, dtype, factor_damped: bool = False):
+def _make_k1(m: types.Model, dtype):
   nb, nv, ngeom = m.nbody, m.nv, m.ngeom
   geom_pos = np.asarray(jax.device_get(m.geom_pos), np.float64)
   geom_quat = np.asarray(jax.device_get(m.geom_quat), np.float64)
@@ -970,10 +970,7 @@ def _make_k1(m: types.Model, dtype, factor_damped: bool = False):
   run_col = bool(m.opt.run_collision_detection) and m.ncand > 0
 
   def kernel(qpos_ref, qvel_ref, sizes_ref, arm_ref, grav_ref,
-             *rest):
-    if factor_damped:
-      damp_ref, h_ref, rest = rest[0], rest[1], rest[2:]
-    out_refs = rest
+             *out_refs):
     if run_col:
       (qM_out, qLD_out, bias_out, cdof_out, dist_out, cpos_out,
        cframe_out, stcom_out) = out_refs
@@ -1001,21 +998,10 @@ def _make_k1(m: types.Model, dtype, factor_damped: bool = False):
 
     qv = [qvel[i:i + 1] for i in range(nv)]
     qM, L, cvel, cdof_dot, bias = psmooth.mass_chain_core(
-        m, dtype, cinert, cdof, qv, arm_ref[:], grav_ref[:],
-        factor=not factor_damped)
+        m, dtype, cinert, cdof, qv, arm_ref[:], grav_ref[:])
 
     W = qpos.shape[-1]
     qM_out[:] = qM.reshape(nv * nv, W)
-    if factor_damped:
-      # the constrained+damped step never reads chol(qM) — the Newton
-      # solve factors H and the implicit-damping Euler solve factors
-      # M + h·diag(damping) (forward.py:353-386).  Factor the damped
-      # matrix HERE so K4's integrate is a pure triangular solve.
-      h = h_ref[0, 0]
-      eye = (jax.lax.broadcasted_iota(jnp.int32, (nv, nv), 0) ==
-             jax.lax.broadcasted_iota(jnp.int32, (nv, nv), 1))
-      Md = qM + eye.astype(dtype)[:, :, None] * (h * damp_ref[:])[:, None, :]
-      L = _chol_tile(Md, nv)
     qLD_out[:] = L.reshape(nv * nv, W)
     bias_out[:] = bias
     cdof_out[:] = jnp.concatenate(cdof, axis=0)
@@ -1023,8 +1009,7 @@ def _make_k1(m: types.Model, dtype, factor_damped: bool = False):
   return kernel
 
 
-def _k1_call(m: types.Model, qpos, qvel, factor_damped=False,
-             interpret=False):
+def _k1_call(m: types.Model, qpos, qvel, interpret=False):
   dtype = qpos.dtype
   W = qpos.shape[-1]
   nb, nv = m.nbody, m.nv
@@ -1044,12 +1029,6 @@ def _k1_call(m: types.Model, qpos, qvel, factor_damped=False,
       jnp.zeros((1, 1), dtype)
   arm = m.dof_armature.astype(dtype)[:, None]
   grav = m.opt.gravity.astype(dtype)[:, None]
-  extra_specs, extra_args = [], []
-  if factor_damped:
-    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    extra_specs = [bstat(nv), smem]
-    extra_args = [m.dof_damping.astype(dtype)[:, None],
-                  m.opt.timestep.astype(dtype).reshape(1, 1)]
   out_specs = [bw(nv * nv), bw(nv * nv), bw(nv), bw(nv * 6)]
   out_shape = [
       jax.ShapeDtypeStruct((nv * nv, W), dtype),
@@ -1066,16 +1045,16 @@ def _k1_call(m: types.Model, qpos, qvel, factor_damped=False,
         jax.ShapeDtypeStruct((nb * 3, W), dtype),
     ]
   outs = pl.pallas_call(
-      _make_k1(m, dtype, factor_damped=factor_damped),
+      _make_k1(m, dtype),
       grid=(W // TILE_W,),
       in_specs=[bw(m.nq), bw(nv), bstat(max(m.ngeom * 3, 1)), bstat(nv),
-                bstat(3)] + extra_specs,
+                bstat(3)],
       out_specs=out_specs,
       out_shape=out_shape,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
-  )(qpos, qvel, sizes, arm, grav, *extra_args)
+  )(qpos, qvel, sizes, arm, grav)
   return outs
 
 
@@ -1086,10 +1065,47 @@ def _host(x, dtype=np.float64):
   return np.asarray(jax.device_get(x), dtype)
 
 
-# (the former XLA-glue `_middle` stage — actuation + passive forces —
-# is fused into the K4 kernel: see the "smooth force" block in
-# _make_k4.  As a separate XLA stage it measured ~1 ms at 8192
-# worlds, nearly all kernel-launch overhead on tiny elementwise ops.)
+def _middle(m: types.Model, bias, qpos, qvel, ctrl, dtype):
+  """Actuation + passive forces, lanes-last elementwise (XLA fuses these)."""
+  nv = m.nv
+  W = qpos.shape[-1]
+
+  # ---- actuation: joint transmission, fixed gain (forward.py:1153)
+  qfrc_act = jnp.zeros((nv, W), dtype)
+  if m.nu:
+    lim = _host(m.actuator_ctrllimited, bool)
+    rng = _host(m.actuator_ctrlrange, np.float32)
+    ctrl_c = jnp.where(jnp.asarray(lim)[:, None],
+                       jnp.clip(ctrl, jnp.asarray(rng[:, 0])[:, None],
+                                jnp.asarray(rng[:, 1])[:, None]), ctrl)
+    gain0 = _host(m.actuator_gainprm, np.float32)[:, 0]
+    gear0 = _host(m.actuator_gear, np.float32)[:, 0]
+    frclim = _host(m.actuator_forcelimited, bool)
+    force = jnp.asarray(gain0)[:, None] * ctrl_c
+    if frclim.any():
+      frng = _host(m.actuator_forcerange, np.float32)
+      force = jnp.where(jnp.asarray(frclim)[:, None],
+                        jnp.clip(force, jnp.asarray(frng[:, 0])[:, None],
+                                 jnp.asarray(frng[:, 1])[:, None]), force)
+    dof_idx = m.jnt_dofadr[m.actuator_trnid[:, 0]]
+    qfrc_act = qfrc_act.at[dof_idx].add(  # xla-glue
+        jnp.asarray(gear0)[:, None] * force)
+
+  # ---- passive springs/dampers (passive.py; hinge/slide only by gate)
+  stiff = _host(m.jnt_stiffness, np.float32)
+  qfrc_passive = -jnp.asarray(
+      _host(m.dof_damping, np.float32))[:, None] * qvel
+  sj = np.nonzero(stiff > 0)[0]
+  if len(sj):
+    qadr = m.jnt_qposadr[sj]
+    dadr = m.jnt_dofadr[sj]
+    qps = _host(m.qpos_spring, np.float32)[qadr]
+    contrib = -jnp.asarray(stiff[sj])[:, None] * (
+        qpos[qadr] - jnp.asarray(qps)[:, None])
+    qfrc_passive = qfrc_passive.at[dadr].add(contrib)  # xla-glue
+
+  return qfrc_passive - bias + qfrc_act
+
 
 # ------------------------------------- K4: assembly + solve + integrate
 
@@ -1153,109 +1169,26 @@ def _onehot_row(val, idx, nv, W, dtype):
   return jnp.concatenate(parts, axis=0)
 
 
-def _slot_groups(m: types.Model):
-  """Contact-slot (dim, count, slot0) groups for vectorized assembly.
-
-  With compaction the groups are the condim classes; on the lossless
-  identity path (m.con_classes empty) slots are in candidate order, so
-  groups are the maximal same-dim runs of m.con_dim.
-  """
-  if m.con_compact:
-    return [(int(dim), int(cap), int(slot0))
-            for (dim, cap, _ci, slot0) in m.con_classes]
-  dims = np.asarray(m.con_dim)
-  groups = []
-  s = 0
-  while s < len(dims):
-    e = s
-    while e < len(dims) and dims[e] == dims[s]:
-      e += 1
-    groups.append((int(dims[s]), e - s, s))
-    s = e
-  return groups
-
-
-def _scatter_rows(base, contrib, idx):
-  """base (nrows, W) with contrib rows added at static row indices idx.
-
-  Duplicate targets are merged at trace time; contiguous index runs
-  become single-slice adds (zero per-row ops in the common case of a
-  consecutive actuator→dof map).
-  """
-  nrows = base.shape[0]
-  by_dof = {}
-  for pos, dref in enumerate(int(x) for x in idx):
-    by_dof.setdefault(dref, []).append(pos)
-  targets = sorted(by_dof)
-  contiguous = all(len(v) == 1 for v in by_dof.values())
-  merged = []
-  for dref in targets:
-    ps = by_dof[dref]
-    r = contrib[ps[0]:ps[0] + 1]
-    for p in ps[1:]:
-      r = r + contrib[p:p + 1]
-    merged.append(r)
-  parts = []
-  cur = 0
-  i = 0
-  while i < len(targets):
-    j = i + 1
-    while j < len(targets) and targets[j] == targets[j - 1] + 1:
-      j += 1
-    d0, n = targets[i], j - i
-    if d0 > cur:
-      parts.append(base[cur:d0])
-    run_sliceable = contiguous and all(
-        by_dof[targets[t]][0] == by_dof[targets[i]][0] + (t - i)
-        for t in range(i, j))
-    if run_sliceable:
-      add = contrib[by_dof[d0][0]:by_dof[d0][0] + n]
-    else:
-      add = merged[i] if n == 1 else jnp.concatenate(merged[i:j], axis=0)
-    parts.append(base[d0:d0 + n] + add)
-    cur = d0 + n
-    i = j
-  if cur < nrows:
-    parts.append(base[cur:])
-  return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-
-
-def _spring_joints(m: types.Model):
-  """(joint ids with stiffness > 0) — gate guarantees hinge/slide."""
-  stiff = _host(m.jnt_stiffness, np.float32)
-  return [int(j) for j in np.nonzero(stiff > 0)[0]]
-
-
-def _make_k4(m: types.Model, dtype, damped: bool, k1_damped: bool):
+def _make_k4(m: types.Model, dtype, damped: bool):
   nv, nq, nefc, ncon = m.nv, m.nq, m.nefc, m.ncon
-  nu = m.nu
   limits = _limit_tables(m)
-  nl = len(limits)
   refsafe = not (m.opt.disableflags & types.DisableBit.REFSAFE)
+  damping = _host(m.dof_damping, np.float32)
+  con_dim = m.con_dim if ncon else np.zeros(0, np.int32)
   run_con = bool(ncon and m.opt.run_collision_detection)
   jnt_meta = [(int(m.jnt_type[j]), int(m.jnt_qposadr[j]),
                int(m.jnt_dofadr[j])) for j in range(m.njnt)]
-  spring_j = _spring_joints(m)
-  act_dofs = ([int(m.jnt_dofadr[int(m.actuator_trnid[u, 0])])
-               for u in range(nu)] if nu else [])
-  spr_dofs = [int(m.jnt_dofadr[j]) for j in spring_j]
-  spr_qadr = [int(m.jnt_qposadr[j]) for j in spring_j]
 
-  def kernel(qM_ref, qLD_ref, bias_ref, ws_ref, qvel_ref, qpos_ref,
+  def kernel(qM_ref, qLD_ref, qfs_ref, ws_ref, qvel_ref, qpos_ref,
              cdof_ref, dist_ref, pos_ref, frame_ref, im_ref, fri_ref,
              solref_ref, solimp_ref, invw_ref, mask1_ref, mask2_ref,
-             com1_ref, com2_ref, damp_ref, *rest):
-    if nu:
-      ctrl_ref, actp_ref, rest = rest[0], rest[1], rest[2:]
-    if spring_j:
-      sprp_ref, rest = rest[0], rest[1:]
-    if nl:
-      limp_ref, rest = rest[0], rest[1:]
-    (tol_ref, lstol_ref, mi_ref, h_ref, ir_ref, qpos_out, qvel_out,
-     warm_out, qacc_out, niter_out, scr_ref) = rest
+             com1_ref, com2_ref, damp_ref, tol_ref, lstol_ref, mi_ref,
+             h_ref, ir_ref, qpos_out, qvel_out, warm_out, qacc_out,
+             niter_out, scr_ref):
     W = qpos_ref.shape[-1]
     qM3 = qM_ref[:].reshape(nv, nv, W)
     L3 = qLD_ref[:].reshape(nv, nv, W)
+    qfs = qfs_ref[:]
     qpos = qpos_ref[:]
     qvel = qvel_ref[:]
     h = h_ref[0, 0]
@@ -1265,57 +1198,32 @@ def _make_k4(m: types.Model, dtype, damped: bool, k1_damped: bool):
       scr_ref[row:row + 1, :] = x
       return scr_ref[row:row + 1, :]
 
-    # ---- smooth force: passive dampers/springs + actuation − bias,
-    # fused into the kernel (was a separate launch-bound XLA stage;
-    # reference: forward.py:1153 fwd_actuation + passive.py)
-    qfs = -damp_ref[:] * qvel - bias_ref[:]
-    if nu:
-      ap = actp_ref[:]  # (nu, 6): [clo, chi, gain0, gear0, flo, fhi]
-      ctrl = jnp.clip(ctrl_ref[:], ap[:, 0:1], ap[:, 1:2])
-      force = jnp.clip(ap[:, 2:3] * ctrl, ap[:, 4:5], ap[:, 5:6])
-      qfs = _scatter_rows(qfs, ap[:, 3:4] * force, act_dofs)
-    if spring_j:
-      sp = sprp_ref[:]  # (ns, 2): [stiffness, qpos_spring]
-      q_s = jnp.concatenate([qpos[a:a + 1] for a in spr_qadr], axis=0)
-      qfs = _scatter_rows(qfs, -sp[:, 0:1] * (q_s - sp[:, 1:2]), spr_dofs)
-
-    D_rows, aref_rows = [], []
+    J_rows, D_rows, aref_rows = [], [], []
     diag_rows = []  # one-hot limit rows: (dof, sign·active) — see
     # solve_core's ``diag``: they only touch H's diagonal and J·v on one
     # dof, so they skip the dense-row stack entirely
 
-    # ---- joint limit rows (constraint.py:1990-2374, hinge/slide),
-    # vectorized across all nl limits ((nl, W) ops; constants ride in
-    # the (nl, 11) limp table input)
-    if nl:
-      lp = limp_ref[:]
-      q_l = jnp.concatenate(
-          [qpos[t['qadr']:t['qadr'] + 1] for t in limits], axis=0)
-      v_l = jnp.concatenate(
-          [qvel[t['dadr']:t['dadr'] + 1] for t in limits], axis=0)
-      dmin_ = q_l - lp[:, 0:1]
-      dmax_ = lp[:, 1:2] - q_l
-      pos_l = jnp.minimum(dmin_, dmax_) - lp[:, 2:3]
-      active_l = (pos_l < 0.0).astype(dtype)
-      sign_l = jnp.where(dmin_ < dmax_, 1.0, -1.0).astype(dtype)
-      vel_l = sign_l * v_l
-      k, b, imp = _kbi_lane(lp[:, 3:4], lp[:, 4:5], lp[:, 5:6],
-                            lp[:, 6:7], lp[:, 7:8], lp[:, 8:9],
-                            lp[:, 9:10], pos_l, h, refsafe)
-      sa = sign_l * active_l
-      for i, t in enumerate(limits):
-        diag_rows.append((t['dadr'], sa[i:i + 1]))
-      D_rows.append(active_l / jnp.maximum(
-          lp[:, 10:11] * (1.0 - imp) / imp, _MINVAL))
-      aref_rows.append((-k * imp * pos_l - b * vel_l) * active_l)
+    # ---- joint limit rows (constraint.py:1990-2374, hinge/slide)
+    for t in limits:
+      q = qpos[t['qadr']:t['qadr'] + 1]
+      dmin_ = q - t['lo']
+      dmax_ = t['hi'] - q
+      pos = jnp.minimum(dmin_, dmax_) - t['margin']
+      active = (pos < 0.0).astype(dtype)
+      sign = jnp.where(dmin_ < dmax_, 1.0, -1.0).astype(dtype)
+      vel = sign * qvel[t['dadr']:t['dadr'] + 1]
+      k, b, imp = _kbi_lane(t['solref'][0], t['solref'][1],
+                            t['solimp'][0], t['solimp'][1], t['solimp'][2],
+                            t['solimp'][3], t['solimp'][4], pos, h,
+                            refsafe)
+      D = 1.0 / jnp.maximum(t['invw'] * (1.0 - imp) / imp, _MINVAL)
+      aref = -k * imp * pos - b * vel
+      diag_rows.append((t['dadr'], sign * active))
+      D_rows.append(D * active)
+      aref_rows.append(aref * active)
 
     # ---- contact rows (constraint.py:3743 dense contact Jacobian +
-    # 4189 pyramidal update), vectorized across the slots of each condim
-    # class: every op carries all `cap` slots on the sublanes
-    # ((cap, ·, W) tensors) instead of a (1, W) per-slot op chain — same
-    # FLOPs, ~cap× fewer VPU instructions, and instruction count (not
-    # FLOPs) is the measured cost of the assembly at these shapes
-    J_blocks = []  # (rows, nv, W) dense contact-row blocks
+    # 4189 pyramidal update), per compact slot
     if run_con:
       cdof3 = cdof_ref[:].reshape(nv, 6, W)
       dist = dist_ref[:]
@@ -1333,99 +1241,83 @@ def _make_k4(m: types.Model, dtype, damped: bool, k1_damped: bool):
       ir = ir_ref[0, 0]
       ang = cdof3[:, 0:3, :]
       lin = cdof3[:, 3:6, :]
-      # int index + None in one expression is advanced indexing (a 3D
-      # gather Mosaic cannot lower); slice first, then add the axis
-      ang_k = [ang[:, k, :][None] for k in range(3)]  # (1, nv, W) each
-      lin_k = [lin[:, k, :][None] for k in range(3)]
-      qv3 = qvel[None]  # (1, nv, W)
-      for (dim, cap, slot0) in _slot_groups(m):
-        sl = slice(slot0, slot0 + cap)
-        d_s = dist[sl][:, None, :]  # (cap, 1, W)
-        im_s = im[sl][:, None, :]
+      ang_c = [ang[:, k, :] for k in range(3)]  # (nv, W) each
+      lin_c = [lin[:, k, :] for k in range(3)]
+      for s in range(ncon):
+        dim = int(con_dim[s])
+        d_s = dist[s:s + 1]
+        im_s = im[s:s + 1]
         active = (d_s < im_s).astype(dtype)
         cp = d_s - im_s
-        fr = frame[9 * slot0:9 * (slot0 + cap)].reshape(cap, 9, W)
-        p_s = cpos[3 * slot0:3 * (slot0 + cap)].reshape(cap, 3, W)
-        m1 = mask1[nv * slot0:nv * (slot0 + cap)].reshape(cap, nv, W)
-        m2 = mask2[nv * slot0:nv * (slot0 + cap)].reshape(cap, nv, W)
-        o1 = p_s - com1[3 * slot0:3 * (slot0 + cap)].reshape(cap, 3, W)
-        o2 = p_s - com2[3 * slot0:3 * (slot0 + cap)].reshape(cap, 3, W)
+        fr = frame[9 * s:9 * s + 9]
+        p_s = cpos[3 * s:3 * s + 3]
+        m1 = mask1[s * nv:(s + 1) * nv]
+        m2 = mask2[s * nv:(s + 1) * nv]
+        o1 = p_s - com1[3 * s:3 * s + 3]  # (3, W)
+        o2 = p_s - com2[3 * s:3 * s + 3]
         dm = m2 - m1
-        fri5 = fri[5 * slot0:5 * (slot0 + cap)].reshape(cap, 5, W)
-        sr2 = solref[2 * slot0:2 * (slot0 + cap)].reshape(cap, 2, W)
-        si5 = solimp[5 * slot0:5 * (slot0 + cap)].reshape(cap, 5, W)
-        iw0 = invw[sl][:, None, :]
 
         def axis_row(t):
-          # J rows for axis t (cap, 3, W) via the triple product (jac·t
-          # with jac = lin + ang×o): (ang×o)·t = ang·(o×t), so the row is
-          # (m2−m1)(lin·t) + m2 ang·(o2×t) − m1 ang·(o1×t) — 9
-          # (cap, nv, W) FMAs instead of masked (cap, nv, 3, W) jacobians
-          lt = (lin_k[0] * t[:, 0:1] + lin_k[1] * t[:, 1:2] +
-                lin_k[2] * t[:, 2:3])
-          u1 = _gcross(o1, t)
-          u2 = _gcross(o2, t)
-          au1 = (ang_k[0] * u1[:, 0:1] + ang_k[1] * u1[:, 1:2] +
-                 ang_k[2] * u1[:, 2:3])
-          au2 = (ang_k[0] * u2[:, 0:1] + ang_k[1] * u2[:, 1:2] +
-                 ang_k[2] * u2[:, 2:3])
+          # J row for axis t via the triple product (jac·t with
+          # jac = lin + ang×o): (ang×o)·t = ang·(o×t), so the row is
+          # (m2−m1)(lin·t) + m2 ang·(o2×t) − m1 ang·(o1×t) — 9 (nv, W)
+          # FMAs instead of building masked (nv, 3, W) jacobians
+          lt = (lin_c[0] * t[0:1] + lin_c[1] * t[1:2] +
+                lin_c[2] * t[2:3])
+          u1 = _cross(o1, t)
+          u2 = _cross(o2, t)
+          au1 = (ang_c[0] * u1[0:1] + ang_c[1] * u1[1:2] +
+                 ang_c[2] * u1[2:3])
+          au2 = (ang_c[0] * u2[0:1] + ang_c[1] * u2[1:2] +
+                 ang_c[2] * u2[2:3])
           return dm * lt + m2 * au2 - m1 * au1
 
         def rot_row(t):
-          # rotational jacobian rows: jacr = ang masked by (m2-m1); the
+          # rotational jacobian row: jacr = ang masked by (m2-m1); the
           # lever arm does not enter (constraint.py torsion/roll rows)
-          return dm * (ang_k[0] * t[:, 0:1] + ang_k[1] * t[:, 1:2] +
-                       ang_k[2] * t[:, 2:3])
+          return dm * (ang_c[0] * t[0:1] + ang_c[1] * t[1:2] +
+                       ang_c[2] * t[2:3])
 
-        Jn = axis_row(fr[:, 0:3])
-        veln = jnp.sum(Jn * qv3, axis=1, keepdims=True)  # (cap, 1, W)
-        k, b, imp = _kbi_lane(
-            sr2[:, 0:1], sr2[:, 1:2], si5[:, 0:1], si5[:, 1:2],
-            si5[:, 2:3], si5[:, 3:4], si5[:, 4:5], cp, h, refsafe)
+        Jn = axis_row(fr[0:3])
+        veln = jnp.sum(Jn * qvel, axis=0, keepdims=True)
         if dim == 1:
-          iw = iw0
-          J_blocks.append(Jn * active)
+          rows = [(Jn, veln)]
+          iw = invw[s:s + 1]
         else:
           # pyramidal rows Jn ± fric_i * dir_i over dirs
-          # [t1, t2, rot_n, rot_t1, rot_t2][:dim-1] (constraint.py:3743);
-          # blocks are row-type-major (all slots' d0+ rows, then d0-, ...)
-          # — row order is internal to the fused solve, only the
-          # J/D/aref correspondence matters
-          dirs = [axis_row(fr[:, 3:6]), axis_row(fr[:, 6:9])]
+          # [t1, t2, rot_n, rot_t1, rot_t2][:dim-1] (constraint.py:3743)
+          dirs = [axis_row(fr[3:6]), axis_row(fr[6:9])]
           if dim >= 4:
-            dirs.append(rot_row(fr[:, 0:3]))
+            dirs.append(rot_row(fr[0:3]))
           if dim == 6:
-            dirs.append(rot_row(fr[:, 3:6]))
-            dirs.append(rot_row(fr[:, 6:9]))
-          Jna = Jn * active
-          vparts = []
+            dirs.append(rot_row(fr[3:6]))
+            dirs.append(rot_row(fr[6:9]))
+          rows = []
           for fi, Jd in enumerate(dirs):
-            f = fri5[:, fi:fi + 1]
-            veld = jnp.sum(Jd * qv3, axis=1, keepdims=True)
-            Jda = (f * Jd) * active
-            J_blocks.append(Jna + Jda)
-            J_blocks.append(Jna - Jda)
-            vparts.append(veln + f * veld)
-            vparts.append(veln - f * veld)
-          vels = vparts  # nrow × (cap, 1, W)
-          f0 = fri5[:, 0:1]
+            f = fri[5 * s + fi:5 * s + fi + 1]
+            veld = jnp.sum(Jd * qvel, axis=0, keepdims=True)
+            rows.append((Jn + f * Jd, veln + f * veld))
+            rows.append((Jn - f * Jd, veln - f * veld))
+          f0 = fri[5 * s:5 * s + 1]
+          iw0 = invw[s:s + 1]
           iw = (iw0 + f0 * f0 * iw0) * 2.0 * f0 * f0 * ir
-        if dim == 1:
-          vels = [veln]
+        k, b, imp = _kbi_lane(
+            solref[2 * s:2 * s + 1], solref[2 * s + 1:2 * s + 2],
+            solimp[5 * s:5 * s + 1], solimp[5 * s + 1:5 * s + 2],
+            solimp[5 * s + 2:5 * s + 3], solimp[5 * s + 3:5 * s + 4],
+            solimp[5 * s + 4:5 * s + 5], cp, h, refsafe)
         D = active / jnp.maximum(iw * (1.0 - imp) / imp, _MINVAL)
-        # D is shared by every row of a slot; aref varies by row velocity;
-        # per-row-type (cap, W) blocks keep the J/D/aref correspondence
-        nka = -k * imp * cp
-        for v_r in vels:
-          D_rows.append(D[:, 0, :])
-          aref_rows.append(((nka - b * v_r) * active)[:, 0, :])
+        for r, vel in rows:
+          J_rows.append(r * active)
+          D_rows.append(D)
+          aref_rows.append((-k * imp * cp - b * vel) * active)
 
     # ---- Newton solve (pallas/solver.solve_core)
-    if J_blocks or diag_rows:
-      J = jnp.concatenate(J_blocks, axis=0) if J_blocks else None
+    if J_rows or diag_rows:
+      J = jnp.stack(J_rows, axis=0) if J_rows else None  # dense rows
       Dv = jnp.concatenate(D_rows, axis=0)
       aref = jnp.concatenate(aref_rows, axis=0)
-      fl = jnp.zeros((Dv.shape[0], W), dtype)
+      fl = jnp.zeros((len(D_rows), W), dtype)
       qacc, _, niter = psolver.solve_core(
           m, dtype, J, Dv, aref, fl, qM3, qfs, ws_ref[:], None, None,
           tol_ref[0, 0], lstol_ref[0, 0], mi_ref[0, 0], _launder,
@@ -1435,12 +1327,7 @@ def _make_k4(m: types.Model, dtype, damped: bool, k1_damped: bool):
       niter = jnp.zeros((1, W), dtype)
 
     # ---- Euler integrate (forward.py:276/388)
-    if damped and k1_damped:
-      # K1 already factored M + h·diag(damping) into L3 (chol(qM) is
-      # dead work on the constrained path) — pure triangular solve here
-      rhs = jnp.sum(qM3 * qacc[None, :, :], axis=1)
-      qacc_i = _chol_solve_tile(L3, rhs, nv)
-    elif damped:
+    if damped:
       damp = damp_ref[:]  # (nv, 1); a captured jnp constant of this
       # shape is rejected by pallas ("captures constants"), so it rides
       # as a broadcast input like K1's armature
@@ -1492,51 +1379,18 @@ def _quat_integrate_lane(q, w, h, dtype):
   return _qnormalize(_qmul(q, qrot))
 
 
-def _act_table(m: types.Model, dtype):
-  """(nu, 6) actuation constants: [clo, chi, gain0, gear0, flo, fhi]."""
-  nu = m.nu
-  lim = _host(m.actuator_ctrllimited, bool)
-  rng = _host(m.actuator_ctrlrange, np.float32)
-  frclim = _host(m.actuator_forcelimited, bool)
-  frng = _host(m.actuator_forcerange, np.float32)
-  big = np.float32(1e30)
-  tab = np.zeros((nu, 6), np.float32)
-  tab[:, 0] = np.where(lim, rng[:, 0], -big)
-  tab[:, 1] = np.where(lim, rng[:, 1], big)
-  tab[:, 2] = _host(m.actuator_gainprm, np.float32)[:, 0]
-  tab[:, 3] = _host(m.actuator_gear, np.float32)[:, 0]
-  tab[:, 4] = np.where(frclim, frng[:, 0], -big)
-  tab[:, 5] = np.where(frclim, frng[:, 1], big)
-  return jnp.asarray(tab, dtype)
-
-
-def _spring_table(m: types.Model, dtype):
-  sj = _spring_joints(m)
-  stiff = _host(m.jnt_stiffness, np.float32)[sj]
-  qps = _host(m.qpos_spring, np.float32)[m.jnt_qposadr[sj]]
-  return jnp.asarray(np.stack([stiff, qps], axis=1), dtype)
-
-
-def _limit_table(m: types.Model, dtype):
-  """(nl, 11): [lo, hi, margin, sr0, sr1, si0..si4, invw]."""
-  rows = [[t['lo'], t['hi'], t['margin'], *t['solref'], *t['solimp'],
-           t['invw']] for t in _limit_tables(m)]
-  return jnp.asarray(np.asarray(rows, np.float32), dtype)
-
-
-def _k4_call(m: types.Model, damped, k1_damped, qM, qLD, bias, ws, qvel,
-             qpos, ctrl, cdof, con, scalars, interpret=False):
+def _k4_call(m: types.Model, damped, qM, qLD, qfs, ws, qvel, qpos, cdof,
+             con, scalars, interpret=False):
   dtype = qpos.dtype
   W = qpos.shape[-1]
   nv, nq, ncon = m.nv, m.nq, max(m.ncon, 1)
-  nl = len(_limit_tables(m))
 
   def bw(lead):
     return pl.BlockSpec((lead, TILE_W), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
 
-  def bstat(r, c=1):
-    return pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+  def bstat(r):
+    return pl.BlockSpec((r, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
   smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
   damp = m.dof_damping.astype(dtype)[:, None]
@@ -1553,27 +1407,14 @@ def _k4_call(m: types.Model, damped, k1_damped, qM, qLD, bias, ws, qvel,
                 z(5 * ncon), z(ncon), z(nv * ncon), z(nv * ncon),
                 z(3 * ncon), z(3 * ncon))
 
-  extra_specs, extra_args = [], []
-  if m.nu:
-    extra_specs += [bw(m.nu), bstat(m.nu, 6)]
-    extra_args += [ctrl, _act_table(m, dtype)]
-  sj = _spring_joints(m)
-  if sj:
-    extra_specs += [bstat(len(sj), 2)]
-    extra_args += [_spring_table(m, dtype)]
-  if nl:
-    extra_specs += [bstat(nl, 11)]
-    extra_args += [_limit_table(m, dtype)]
-
   return pl.pallas_call(
-      _make_k4(m, dtype, damped, k1_damped),
+      _make_k4(m, dtype, damped),
       grid=(W // TILE_W,),
       in_specs=[bw(nv * nv), bw(nv * nv), bw(nv), bw(nv), bw(nv), bw(nq),
                 bw(nv * 6), bw(ncon), bw(3 * ncon), bw(9 * ncon),
                 bw(ncon), bw(5 * ncon), bw(2 * ncon), bw(5 * ncon),
                 bw(ncon), bw(nv * ncon), bw(nv * ncon), bw(3 * ncon),
-                bw(3 * ncon), bstat(nv)] + extra_specs +
-      [smem, smem, smem, smem, smem],
+                bw(3 * ncon), bstat(nv), smem, smem, smem, smem, smem],
       out_specs=[bw(nq), bw(nv), bw(nv), bw(nv), bw(1)],
       out_shape=[
           jax.ShapeDtypeStruct((nq, W), dtype),
@@ -1586,8 +1427,7 @@ def _k4_call(m: types.Model, damped, k1_damped, qM, qLD, bias, ws, qvel,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
-  )(qM, qLD, bias, ws, qvel, qpos, cdof, *con_args, damp, *extra_args,
-    *scalars)
+  )(qM, qLD, qfs, ws, qvel, qpos, cdof, *con_args, damp, *scalars)
 
 
 # --------------------------------------------------------- step / rollout
@@ -1662,17 +1502,7 @@ def step_lane(m: types.Model, st: FusedState,
               interpret: bool = False) -> FusedState:
   """One physics step on lane-form state (the fused fast path)."""
   dtype = st.qpos.dtype
-  damping = _host(m.dof_damping, np.float32)
-  damped = (not (m.opt.disableflags & (types.DisableBit.EULERDAMP |
-                                       types.DisableBit.DAMPER)) and
-            bool(np.any(damping > 0)))
-  # statically-constrained models never read chol(qM): K1 factors the
-  # implicit-damping matrix instead and K4 integrates by pure solve
-  has_efc = (len(m.efc.lim_jnt_id) > 0 or
-             bool(m.ncon and m.opt.run_collision_detection))
-  k1_damped = damped and has_efc
-  k1 = _k1_call(m, st.qpos, st.qvel, factor_damped=k1_damped,
-                interpret=interpret)
+  k1 = _k1_call(m, st.qpos, st.qvel, interpret=interpret)
   qM, qLD, bias, cdof = k1[:4]
   if m.ncand and m.opt.run_collision_detection:
     c_dist, c_pos, c_frame, stcom = k1[4:]
@@ -1681,14 +1511,19 @@ def step_lane(m: types.Model, st: FusedState,
   else:
     con = {}
     overflow = jnp.zeros((1, st.qpos.shape[-1]), jnp.int32)
+  qfs = _middle(m, bias, st.qpos, st.qvel, st.ctrl, dtype)
 
+  damping = _host(m.dof_damping, np.float32)
+  damped = (not (m.opt.disableflags & (types.DisableBit.EULERDAMP |
+                                       types.DisableBit.DAMPER)) and
+            bool(np.any(damping > 0)))
   sc = lambda x: x.astype(dtype).reshape(1, 1)
   impratio_inv = 1.0 / jnp.maximum(m.opt.impratio.astype(dtype), _MINVAL)
   scalars = (sc(m.opt.tolerance), sc(m.opt.ls_tolerance),
              sc(m.stat.meaninertia), sc(m.opt.timestep), sc(impratio_inv))
   qpos_n, qvel_n, warm, qacc_i, niter = _k4_call(
-      m, damped, k1_damped, qM, qLD, bias, st.warmstart, st.qvel, st.qpos,
-      st.ctrl, cdof, con, scalars, interpret=interpret)
+      m, damped, qM, qLD, qfs, st.warmstart, st.qvel, st.qpos, cdof, con,
+      scalars, interpret=interpret)
   h = m.opt.timestep.astype(dtype)
   # SOLVER overflow: niter == opt.iterations means the Newton cap fired
   # before the kernel's tolerance predicate (conservative at the

@@ -41,7 +41,7 @@ def supported(m: types.Model, d: types.Data) -> bool:
 
 
 def mass_chain_core(m: types.Model, dtype, ci, cdof, qv, armature,
-                    gravity, ancm=None, factor=True):
+                    gravity, ancm=None):
   """crb → qM → Cholesky → com_vel → rne on one world tile, lanes-last.
 
   Pure function over VMEM values shared by the standalone mass-chain
@@ -126,10 +126,8 @@ def mass_chain_core(m: types.Model, dtype, ci, cdof, qv, armature,
     eye_f = eye.astype(dtype)
     qM = qM + eye_f[:, :, None] * armature[:, None, :]
     # large trees skip the in-kernel unrolled Cholesky (compile scale);
-    # the caller factors qM with XLA's batched MXU Cholesky instead.
-    # factor=False skips it entirely (the fused K1 factors the damped
-    # M + h·diag(damping) instead — chol(qM) would be dead work there)
-    L = _chol_tile(qM, nv) if (ancm is None and factor) else None
+    # the caller factors qM with XLA's batched MXU Cholesky instead
+    L = _chol_tile(qM, nv) if ancm is None else None
 
     # ---- com_vel: top-down accumulation (cvel[b] = cvel[parent] + own)
     cdof_qvel = [cdof[i] * qv[i] for i in range(nv)]

@@ -621,12 +621,7 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
 
       def _ell_ev(alpha):
         """Per-contact elliptic (Δcost, φ', φ'') sums (reference
-        _eval_elliptic_shifted:344-401).
-
-        Rank-polymorphic over a leading alpha axis: alpha may be (1, W)
-        or (K, 1, W); reductions run on axis=-2 so K stacked evals cost
-        one instruction stream (see the batched bracket in ``body``).
-        """
+        _eval_elliptic_shifted:344-401)."""
         cs = gs = hs = 0.0
         for c in ecoef:
           mu, dm = c['mu'], c['dm']
@@ -664,9 +659,9 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
                           jnp.where(in_mid, c_m, -c['cost0']))
           g_e = jnp.where(in_quad, g_q, jnp.where(in_mid, g_m, 0.0))
           h_e = jnp.where(in_quad, h_q, jnp.where(in_mid, h_m, 0.0))
-          cs = cs + jnp.sum(c_e, axis=-2, keepdims=True)
-          gs = gs + jnp.sum(g_e, axis=-2, keepdims=True)
-          hs = hs + jnp.sum(h_e, axis=-2, keepdims=True)
+          cs = cs + jnp.sum(c_e, axis=0, keepdims=True)
+          gs = gs + jnp.sum(g_e, axis=0, keepdims=True)
+          hs = hs + jnp.sum(h_e, axis=0, keepdims=True)
         return cs, gs, hs
 
       def _ell_p0():
@@ -694,14 +689,7 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
         weh, wfh, wqh = w_eq, w_fri, w_ql
 
       def ev(alpha):
-        """alpha (1, W) or (K, 1, W) -> (Δcost, φ', φ'') of alpha's shape.
-
-        Rank-polymorphic: with a stacked (K, 1, W) alpha the K bracket
-        candidates are evaluated in ONE instruction stream over
-        (K, nefc, W) tiles — on the VPU this is ~K× fewer instructions
-        than K scalar evals, and instruction count (not FLOPs) is the
-        measured cost of the linesearch at these shapes.
-        """
+        """alpha (1, W) -> (Δcost, φ', φ'') each (1, W)."""
         if not has_head:
           ce, ge, he = _ell_ev(alpha)
           return (ce + alpha * alpha * g2 + alpha * g1,
@@ -736,10 +724,10 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
             h = h + wfh * hf
         else:
           c, g, h = c_ql, g_ql, h_ql
-        cost = jnp.sum(c, axis=-2, keepdims=True) + alpha * alpha * g2 + \
+        cost = jnp.sum(c, axis=0, keepdims=True) + alpha * alpha * g2 + \
             alpha * g1
-        grad = jnp.sum(g, axis=-2, keepdims=True) + 2.0 * alpha * g2 + g1
-        hessian = jnp.sum(h, axis=-2, keepdims=True) + 2.0 * g2
+        grad = jnp.sum(g, axis=0, keepdims=True) + 2.0 * alpha * g2 + g1
+        hessian = jnp.sum(h, axis=0, keepdims=True) + 2.0 * g2
         if egroups:
           ce, ge, he = _ell_ev(alpha)
           cost = cost + ce
@@ -804,12 +792,9 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
         lo_next_a = lo_a - _sdiv(lo_g, lo_h)
         hi_next_a = hi_a - _sdiv(hi_g, hi_h)
         mid_a = 0.5 * (lo_a + hi_a)
-        # one batched eval over the 3 bracket candidates (reference runs
-        # them as one fused kernel too, solver.py:823 _linesearch_iterative)
-        c3, g3, h3 = ev(jnp.stack([lo_next_a, hi_next_a, mid_a], axis=0))
-        ln_c, ln_g, ln_h = c3[0], g3[0], h3[0]
-        hn_c, hn_g, hn_h = c3[1], g3[1], h3[1]
-        md_c, md_g, md_h = c3[2], g3[2], h3[2]
+        ln_c, ln_g, ln_h = ev(lo_next_a)
+        hn_c, hn_g, hn_h = ev(hi_next_a)
+        md_c, md_g, md_h = ev(mid_a)
 
         def swap3(c, g, h, a, nc, ng, nh, na):
           sw = in_bracket(g, ng)
