@@ -1,17 +1,24 @@
-"""Intra-K4 attribution: time K4 under iteration-count overrides, plus
-the lane-permutation (sort_worlds) cost."""
+"""Intra-step attribution for the fused flagship path.
+
+Times K1 / compact / middle / K4 separately, then K4 under Newton and
+linesearch iteration-count overrides to attribute the solve cost
+(assembly vs per-iteration linesearch/H work).
+"""
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mujoco_warp_tpu import benchmarks, io, types
+from mujoco_warp_tpu import benchmarks, types
 from mujoco_warp_tpu.pallas import fused
 
-NWORLD = int(os.environ.get('NWORLD', 8192))
+NWORLD = int(os.environ.get('NWORLD', 1024))
 REPS = int(os.environ.get('REPS', 30))
 
 
@@ -23,7 +30,7 @@ def timeit(name, fn, *args):
     out = fn_j(*args)
   jax.block_until_ready(out)
   dt = (time.perf_counter() - t0) / REPS
-  print(f'{name:36s} {dt*1e3:9.2f} ms', flush=True)
+  print(f'{name:40s} {dt*1e3:9.3f} ms', flush=True)
   return out
 
 
@@ -31,20 +38,27 @@ def main():
   mjm = benchmarks.load_humanoid_benchmark()
   m, d = benchmarks.build(mjm, NWORLD)
   st = fused.to_lane(m, d)
+  # settle into a warmstarted steady state so iteration counts are
+  # representative of the benchmark's rollout
+  step = jax.jit(lambda s: fused.step_lane(m, s))
+  for _ in range(20):
+    st = step(st)
+  st = jax.block_until_ready(st)
   dtype = st.qpos.dtype
 
-  timeit('sort_worlds (take on lanes)', fused.sort_worlds, st)
   timeit('step_lane (whole step)', lambda s: fused.step_lane(m, s), st)
+  timeit('sort_worlds', fused.sort_worlds, st)
 
-  damped = True
-  k1_damped = True
-  k1 = jax.jit(lambda q, v: fused._k1_call(
-      m, q, v, factor_damped=k1_damped))(st.qpos, st.qvel)
+  k1 = jax.jit(lambda q, v: fused._k1_call(m, q, v))(st.qpos, st.qvel)
   qM, qLD, bias, cdof = k1[:4]
   c_dist, c_pos, c_frame, stcom = k1[4:]
-  con, _ = jax.jit(
-      lambda *a: fused._compact_xla(m, *a, dtype))(c_dist, c_pos, c_frame,
-                                                   stcom)
+  timeit('K1', lambda q, v: fused._k1_call(m, q, v), st.qpos, st.qvel)
+  con, _ = timeit('compact_xla',
+                  lambda *a: fused._compact_xla(m, *a, dtype),
+                  c_dist, c_pos, c_frame, stcom)
+  qfs = timeit('middle (actuation+passive)',
+               lambda *a: fused._middle(m, *a, dtype),
+               bias, st.qpos, st.qvel, st.ctrl)
 
   sc = lambda x: jnp.asarray(x, dtype).reshape(1, 1)
   impratio_inv = 1.0 / max(float(jax.device_get(m.opt.impratio)), 1e-15)
@@ -53,34 +67,27 @@ def main():
              sc(jax.device_get(m.stat.meaninertia)),
              sc(jax.device_get(m.opt.timestep)), sc(impratio_inv))
 
-  def k4_with(niters, nls, name, mm=None, dmp=damped, k1d=k1_damped):
+  def k4_with(name, niters=None, nls=None, mm=None):
     mm = mm or m
-    mm = mm.replace(opt=mm.opt.replace(iterations=niters,
-                                       ls_iterations=nls))
+    it = int(jax.device_get(m.opt.iterations)) if niters is None else niters
+    ls = (int(jax.device_get(m.opt.ls_iterations)) if nls is None else nls)
+    mm = mm.replace(opt=mm.opt.replace(iterations=it, ls_iterations=ls))
     timeit(name,
-           lambda *a: fused._k4_call(mm, dmp, k1d, *a, con, scalars),
-           qM, qLD, bias, st.warmstart, st.qvel, st.qpos, st.ctrl, cdof)
+           lambda *a: fused._k4_call(mm, True, *a, con, scalars),
+           qM, qLD, qfs, st.warmstart, st.qvel, st.qpos, cdof)
 
-  if os.environ.get('K4_VARIANTS', '0') != '0':
-    print('K1 timing:', flush=True)
-    timeit('K1 (incl. damped factor)',
-           lambda q, v: fused._k1_call(m, q, v, factor_damped=k1_damped),
-           st.qpos, st.qvel)
-    timeit('compact_xla', lambda *a: fused._compact_xla(m, *a, dtype),
-           c_dist, c_pos, c_frame, stcom)
-    k4_with(int(m.opt.iterations), int(m.opt.ls_iterations),
-            'K4 full (it=default, ls=default)')
-    k4_with(0, 0, 'K4 it=0 (assembly + solve init)')
-    k4_with(1, 1, 'K4 it=1 ls=1 (assembly+1 solve)')
-    k4_with(2, 4, 'K4 it=2 ls=4')
-    # no contact rows (limits only)
-    mm = m.replace(opt=m.opt.replace(run_collision_detection=False))
-    k4_with(0, 0, 'K4 it=0 no-contacts', mm=mm)
-    # no limits either: pure solve-init + integrate
-    orig_lt = fused._limit_tables
-    fused._limit_tables = lambda m_: []
-    k4_with(0, 0, 'K4 it=0 no-con no-lim', mm=mm, k1d=False)
-    fused._limit_tables = orig_lt
+  k4_with('K4 full (defaults)')
+  k4_with('K4 it=0 (assembly + init)', 0, 0)
+  k4_with('K4 it=1 ls=1', 1, 1)
+  k4_with('K4 it=2 ls=2', 2, 2)
+  k4_with('K4 it=2 ls=4', 2, 4)
+  k4_with('K4 it=4 ls=4', 4, 4)
+  # no contact rows (limits only)
+  mm = m.replace(opt=m.opt.replace(run_collision_detection=False))
+  k4_with('K4 it=0 no-contacts', 0, 0, mm=mm)
+  print('opt.iterations', int(jax.device_get(m.opt.iterations)),
+        'opt.ls_iterations', int(jax.device_get(m.opt.ls_iterations)),
+        'niter_mean', float(jnp.mean(st.solver_niter)), flush=True)
 
 
 if __name__ == '__main__':
