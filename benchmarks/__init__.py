@@ -57,9 +57,17 @@ BENCHMARKS = {
                   {3: 2200}),
     # mesh manipulation: the reference's aloha_pot test_data scene (204
     # geoms, 134 meshes, 23 DoF, 30,658 candidate pairs) — rides the
-    # broadphase-pruned collision path; reference budget nconmax=24
-    # (benchmarks/aloha/__init__.py:21)
+    # broadphase-pruned collision path; reference budget nconmax=24 and
+    # ctrl REPLAY of the recorded lift (benchmarks/aloha/__init__.py:17-25
+    # — replay="lift_pot.npz"); OU noise is applied around the replayed
+    # ctrl as the reference's unroll does (cli.py:94-136)
     'aloha_pot': (os.path.join('/root/reference/mujoco_warp/test_data',
                                'aloha_pot/scene.xml'), 8192, 100, (),
-                  None),
+                  {1: 8, 3: 24}),
+}
+
+# optional ctrl-replay NPZ per benchmark (reference: "replay" key in
+# benchmarks/*/__init__.py BENCHMARKS entries)
+REPLAYS = {
+    'aloha_pot': os.path.join(_REF, 'aloha/lift_pot.npz'),
 }

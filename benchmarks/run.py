@@ -32,7 +32,7 @@ def main(argv=None):
 
   import mujoco
 
-  from benchmarks import BENCHMARKS
+  from benchmarks import BENCHMARKS, REPLAYS
   from mujoco_warp_tpu import benchmarks as harness, io
 
   names = args.benchmark or list(BENCHMARKS)
@@ -44,7 +44,8 @@ def main(argv=None):
     mjm = mujoco.MjModel.from_xml_path(path)
     try:
       metrics = harness.run(mjm, nworld=nworld, nstep=nstep,
-                            nconmax=nconmax, overrides=overrides)
+                            nconmax=nconmax, overrides=overrides,
+                            replay=REPLAYS.get(name))
     except Exception as e:  # record failures, keep sweeping
       metrics = {'error': f'{type(e).__name__}: {e}'}
     rec = {'benchmark': name, **metrics}

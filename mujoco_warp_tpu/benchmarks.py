@@ -81,7 +81,7 @@ def load_humanoid_benchmark():
 
 
 def build(mjm, nworld: int, seed: int = 0, nconmax={1: 12, 3: 24},
-          overrides=()):
+          overrides=(), init_qpos=None, init_qvel=None):
   """Model + randomized batched Data.
 
   ``nconmax`` defaults to per-condim budgets {1: 12, 3: 24} (36 total
@@ -107,13 +107,21 @@ def build(mjm, nworld: int, seed: int = 0, nconmax={1: 12, 3: 24},
   d = io.make_data(m, nworld=nworld)
   rng = np.random.default_rng(seed)
   qpos = np.asarray(jax.device_get(d.qpos))
+  if init_qpos is not None:
+    qpos = np.broadcast_to(np.asarray(init_qpos, np.float32),
+                           qpos.shape).copy()
   qpos = qpos + 0.01 * rng.standard_normal(qpos.shape).astype(np.float32)
   d = d.replace(qpos=jnp.asarray(qpos))
+  if init_qvel is not None:
+    qvel = np.broadcast_to(np.asarray(init_qvel, np.float32),
+                           np.asarray(jax.device_get(d.qvel)).shape).copy()
+    d = d.replace(qvel=jnp.asarray(qvel))
   return m, d
 
 
 def rollout_fn(m: types.Model, nstep: int):
-  """Jittable nstep-unrolled batched step."""
+  """Jittable nstep-unrolled batched step (`lax.scan`; measured at parity
+  with the host-dispatch loop — 0.99x at 8192 worlds, tools/dbg_scan.py)."""
 
   def unroll(d: types.Data) -> types.Data:
     def body(d, _):
@@ -126,48 +134,71 @@ def rollout_fn(m: types.Model, nstep: int):
 
 
 def run(mjm, nworld: int = 8192, nstep: int = 100, seed: int = 0,
-        warmup_steps: int = 10, nconmax='default', overrides=()):
+        warmup_steps: int = 10, nconmax='default', overrides=(),
+        replay=None):
   """Measure steps/s on the default backend. Returns a metrics dict.
 
   The rollout is a host loop of async-dispatched jitted steps (the XLA
   analog of the reference's graph-replay loop, testspeed.py:242);
   dispatch is ~20 µs/step and fully overlapped with device compute.
-  A lax.scan rollout hits a pathological slowdown with the Pallas solver
-  custom-call inside the scan body (tracked; ~14x), so the host loop is
-  also the faster harness today.
+
+  ``replay``: optional NPZ ctrl-trajectory path (reference testspeed
+  --replay, cli.py:56): the rollout applies OU noise *around* the
+  recorded ctrl (cli.py:94-136) and starts from the recorded initial
+  state.
   """
-  if nconmax == 'default':
-    m, d = build(mjm, nworld, seed, overrides=overrides)
-  else:
-    m, d = build(mjm, nworld, seed, nconmax=nconmax, overrides=overrides)
+  import mujoco
+
+  init_qpos = init_qvel = None
+  traj = None
+  if replay is not None:
+    mjd = mujoco.MjData(mjm)
+    mujoco.mj_resetData(mjm, mjd)
+    traj = io.load_trajectory(replay, mjm, mjd).astype(np.float32)
+    init_qpos, init_qvel = mjd.qpos.copy(), mjd.qvel.copy()
+  kw = dict(overrides=overrides, init_qpos=init_qpos, init_qvel=init_qvel)
+  if nconmax != 'default':
+    kw['nconmax'] = nconmax
+  m, d = build(mjm, nworld, seed, **kw)
   dt = float(jax.device_get(m.opt.timestep))
 
   # OU exploration noise on ctrl, as the reference's unroll applies around
   # the replay/keyframe ctrl (cli.py:94-136) — keeps the rollout dynamic
   nu = m.nu
   tau = 0.2
+  traj_dev = jnp.asarray(traj) if traj is not None else None
 
   from mujoco_warp_tpu.pallas import fused
   use_fused = fused.supported(m, d)
 
-  def ou(ctrl, key):
+  def ou(noise, key, base=None):
     key, sub = jax.random.split(key)
-    eta = jax.random.normal(sub, ctrl.shape, ctrl.dtype)
+    eta = jax.random.normal(sub, noise.shape, noise.dtype)
     decay = jnp.exp(-dt / tau)
-    return ctrl * decay + 0.2 * np.sqrt(dt) * eta, key
+    noise = noise * decay + 0.2 * np.sqrt(dt) * eta
+    ctrl = noise if base is None else base + noise
+    return noise, ctrl, key
 
   if use_fused:
     # lanes-last rollout: layout conversion happens once, outside the loop
     d = fused.to_lane(m, d)
     resort = _os.environ.get('BENCH_SORT_WORLDS', '1') != '0'
 
-    def step_fn(st, key, sort):
-      if nu:
-        ctrl, key = ou(st.ctrl, key)
-        st = st._replace(ctrl=ctrl)
+    def step_fn(st, key, noise, sort, base):
       if sort:
-        st = fused.sort_worlds(st)
-      return fused.step_lane(m, st), key
+        # inline fused.sort_worlds so the OU-noise carry rides the same
+        # world permutation as the state it perturbs
+        perm = jnp.argsort(st.solver_niter[0])
+        st = jax.tree.map(lambda x: x.T[perm].T, st)
+        if nu:
+          noise = noise.T[perm].T
+      if nu:
+        b = base[:, None] if base is not None else None
+        noise, ctrl, key = ou(noise, key, b)
+        st = st._replace(ctrl=ctrl)
+      return fused.step_lane(m, st), key, noise
+
+    noise0 = jnp.zeros_like(d.ctrl)
   else:
     # world sorting pays off exactly when the tile-based Pallas solver
     # runs (tiles exit their while loops at the tile max trip count);
@@ -178,45 +209,57 @@ def run(mjm, nworld: int = 8192, nstep: int = 100, seed: int = 0,
               _os.environ.get('BENCH_SORT_WORLDS', '1') != '0')
     W = d.qpos.shape[0]
 
-    def sort_data(dd):
+    def sort_data(dd, noise):
       perm = jnp.argsort(dd.solver_niter)
-      return jax.tree.map(
+      dd = jax.tree.map(
           lambda x: x[perm]
           if hasattr(x, 'shape') and x.ndim >= 1 and x.shape[0] == W
           else x, dd)
-
-    def step_fn(dd, key, sort):
       if nu:
-        ctrl, key = ou(dd.ctrl, key)
-        dd = dd.replace(ctrl=ctrl)
+        noise = noise[perm]
+      return dd, noise
+
+    def step_fn(dd, key, noise, sort, base):
       if sort:
-        dd = sort_data(dd)
-      return fwd.step(m, dd), key
+        dd, noise = sort_data(dd, noise)
+      if nu:
+        b = base[None] if base is not None else None
+        noise, ctrl, key = ou(noise, key, b)
+        dd = dd.replace(ctrl=ctrl)
+      return fwd.step(m, dd), key, noise
+
+    noise0 = jnp.zeros_like(d.ctrl)
 
   # sorting every step pays ~2 ms of lane permutation; iteration counts
   # are temporally coherent, so sorting every few steps keeps tiles
   # homogeneous at a fraction of the cost
   sort_every = int(_os.environ.get('BENCH_SORT_EVERY', 4)) if resort else 0
 
-  step = jax.jit(step_fn, donate_argnums=0, static_argnums=2)
+  step = jax.jit(step_fn, donate_argnums=(0, 2), static_argnums=3)
   key = jax.random.PRNGKey(seed)
+  noise = noise0
 
   do_sort = lambda i: sort_every > 0 and i % sort_every == 0
+  if traj_dev is not None:
+    T = traj_dev.shape[0]
+    base_i = lambda i: traj_dev[i % T]
+  else:
+    base_i = lambda i: None
 
   t0 = time.perf_counter()
-  d, key = step(d, key, do_sort(0))
+  d, key, noise = step(d, key, noise, do_sort(0), base_i(0))
   jax.block_until_ready(d)
   jit_duration = time.perf_counter() - t0
   if sort_every > 1:  # compile the no-sort variant too, outside the timing
-    d, key = step(d, key, False)
+    d, key, noise = step(d, key, noise, False, base_i(0))
     jax.block_until_ready(d)
   for i in range(warmup_steps - 1):
-    d, key = step(d, key, do_sort(i))
+    d, key, noise = step(d, key, noise, do_sort(i), base_i(i))
   d = jax.block_until_ready(d)
 
   t0 = time.perf_counter()
   for i in range(nstep):
-    d, key = step(d, key, do_sort(i))
+    d, key, noise = step(d, key, noise, do_sort(i), base_i(i))
   d = jax.block_until_ready(d)
   run_time = time.perf_counter() - t0
 

@@ -800,6 +800,8 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
       geom_solimp=_jnp(mjm.geom_solimp, dtype),
       geom_size=_jnp(mjm.geom_size, dtype),
       geom_rbound=_jnp(mjm.geom_rbound, dtype),
+      geom_aabb=_jnp(mjm.geom_aabb.reshape(mjm.ngeom, 6)
+                     if mjm.ngeom else np.zeros((0, 6)), dtype),
       geom_pos=_jnp(mjm.geom_pos, dtype),
       geom_quat=_jnp(mjm.geom_quat, dtype),
       geom_friction=_jnp(mjm.geom_friction, dtype),
@@ -958,6 +960,9 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
             [m.geom_priority, mjm.flex_priority[fid]]),
         geom_size=catj(m.geom_size, vsize),
         geom_rbound=catj(m.geom_rbound, radius),
+        geom_aabb=catj(m.geom_aabb, np.concatenate(
+            [0 * np.stack([radius] * 3, -1),
+             np.stack([radius] * 3, -1)], axis=-1)),
         geom_solmix=catj(m.geom_solmix, mjm.flex_solmix[fid]),
         geom_solref=catj(m.geom_solref, mjm.flex_solref[fid]),
         geom_solimp=catj(m.geom_solimp, mjm.flex_solimp[fid]),

@@ -345,25 +345,45 @@ def _group_sel_collider(m: types.Model, t1, t2, idx):
                                                      g2s)
 
 
+def _world_aabb(m: types.Model, d: types.Data):
+  """World-axis-aligned bounding boxes per geom: (center, half extents).
+
+  Rotating the model-frame AABB (mjModel.geom_aabb) gives a bound that is
+  dramatically tighter than bounding spheres for flat/elongated geoms —
+  the reference's runtime AABB filter (collision_driver.py:137-186
+  aabb_filter) plays the same role."""
+  ab = m.geom_aabb
+  c = d.geom_xpos + jnp.einsum('gij,gj->gi', d.geom_xmat, ab[:, :3])
+  h = jnp.einsum('gij,gj->gi', jnp.abs(d.geom_xmat), ab[:, 3:])
+  return c, h
+
+
 def _bp_pair_dist(m: types.Model, d: types.Data, t1, g1s, g2s):
-  """Conservative pair distance for the broadphase prefilter: bounding
-  spheres (plane: signed halfspace distance minus the other bound).
+  """Conservative pair distance for the broadphase prefilter: the max of
+  the bounding-sphere gap and the per-axis AABB separation (both are
+  lower bounds on surface distance; their max is the tighter filter).
+  Planes use the signed halfspace distance minus the AABB's support
+  radius along the normal.
 
   The device-side counterpart of the reference's runtime broadphase
-  (collision_driver.py:567 sap_broadphase / 789 nxn): instead of
-  sort-and-sweep into atomic append queues, every static candidate pair
-  gets a ~10-flop distance bound and actives are packed into the group's
-  capped narrowphase slots with a cumsum scatter (no sort)."""
+  (collision_driver.py:567 sap_broadphase / 789 nxn with plane/sphere/
+  AABB/OBB filters 99-281): instead of sort-and-sweep into atomic append
+  queues, every static candidate pair gets a ~20-flop distance bound and
+  actives are packed into the group's capped narrowphase slots."""
   g1 = jnp.asarray(g1s)
   g2 = jnp.asarray(g2s)
   p1 = d.geom_xpos[g1]
   p2 = d.geom_xpos[g2]
   rb = m.geom_rbound
+  c, h = _world_aabb(m, d)
   if int(t1) == int(types.GeomType.PLANE):
     n = d.geom_xmat[g1][:, :, 2]
-    return jnp.sum(n * (p2 - p1), axis=-1) - rb[g2]
-  return jnp.sqrt(jnp.maximum(
+    r2 = jnp.sum(jnp.abs(n) * h[g2], axis=-1)
+    return jnp.sum(n * (c[g2] - p1), axis=-1) - r2
+  sphere_bd = jnp.sqrt(jnp.maximum(
       jnp.sum((p2 - p1) ** 2, axis=-1), 1e-12)) - rb[g1] - rb[g2]
+  aabb_bd = jnp.max(jnp.abs(c[g1] - c[g2]) - h[g1] - h[g2], axis=-1)
+  return jnp.maximum(sphere_bd, aabb_bd)
 
 
 def _pack_actives(act, cap):

@@ -652,6 +652,7 @@ class Model:
   geom_solimp: Array = None  # (ngeom, NIMP)
   geom_size: Array = None  # (ngeom, 3)
   geom_rbound: Array = None  # (ngeom,)
+  geom_aabb: Array = None  # (ngeom, 6) local center+half — broadphase bound
   geom_pos: Array = None  # (ngeom, 3)
   geom_quat: Array = None  # (ngeom, 4)
   geom_friction: Array = None  # (ngeom, 3)

@@ -85,6 +85,36 @@ def test_fused_box_condim46_vs_general():
   assert_close(out.qvel, ref.qvel, 'qvel', atol=5e-3, rtol=5e-3)
 
 
+def test_fused_scan_rollout_matches_host_loop():
+  """`lax.scan` over the fused step matches a host loop of the same step.
+
+  The scan rollout is the engine's designed consumption seam for RL
+  training loops (reference: contrib/jax_unroll.py:64-75 scans the
+  FFI-wrapped step).  Round 3 tracked a pathological scan slowdown that
+  is now gone (tools/dbg_scan.py measures 0.99x host-loop at 8192 worlds
+  on TPU); this guards the correctness half of that contract.
+  """
+  mjm = mujoco.MjModel.from_xml_string(_BOX46)
+  m = io.put_model(mjm)
+  d = io.make_data(m, nworld=TILE_W)
+  rng = np.random.default_rng(3)
+  d = d.replace(
+      qpos=d.qpos + 0.01 * jnp.asarray(
+          rng.standard_normal(d.qpos.shape).astype(np.float32)))
+  st0 = fused.to_lane(m, d)
+
+  host = st0
+  for _ in range(4):
+    host = fused.step_lane(m, host, interpret=True)
+
+  def body(st, _):
+    return fused.step_lane(m, st, interpret=True), ()
+
+  scanned, _ = jax.lax.scan(body, st0, None, length=4)
+  assert_close(scanned.qpos, host.qpos, 'qpos', atol=1e-6, rtol=1e-6)
+  assert_close(scanned.qvel, host.qvel, 'qvel', atol=1e-6, rtol=1e-6)
+
+
 def test_fused_humanoid_vs_general():
   """The flagship humanoid scene: fused whole-step pipeline matches the
   general stage-split path."""
