@@ -61,9 +61,12 @@ BENCHMARKS = {
     # ctrl REPLAY of the recorded lift (benchmarks/aloha/__init__.py:17-25
     # — replay="lift_pot.npz"); OU noise is applied around the replayed
     # ctrl as the reference's unroll does (cli.py:94-136)
+    # condim-4 budget: the 4 gripper-finger geoms (geom_condim=4) put
+    # 2588 candidate pairs in the condim-4 class; leaving it lossless
+    # allocates a (8192, 2588, nv, 3) contact Jacobian = 43 GB → OOM
     'aloha_pot': (os.path.join('/root/reference/mujoco_warp/test_data',
                                'aloha_pot/scene.xml'), 8192, 100, (),
-                  {1: 8, 3: 24}),
+                  {1: 8, 3: 24, 4: 8}),
 }
 
 # optional ctrl-replay NPZ per benchmark (reference: "replay" key in

@@ -39,27 +39,85 @@ CONVEX_TYPES = (int(_GT.SPHERE), int(_GT.CAPSULE), int(_GT.ELLIPSOID),
                 int(_GT.CYLINDER), int(_GT.BOX), int(_GT.MESH))
 
 
+import os
+
+# Support-vertex budget per mesh (MuJoCo's own `maxhullvert` compiler
+# option plays the same role; MJX ships meshes the same way).  The MPR
+# support function reads the whole vertex table once per iteration per
+# candidate pair, so at 8192 worlds x 24 slots a raw 1159-vertex mesh
+# costs gigabytes of HBM traffic per step — a capped support-relevant
+# hull subset makes it ~150 MB.  Exactness: support(hull) == support
+# (mesh); the <=cap subset is the inner hull of the vertices that win
+# the most support queries over a dense direction sample (error printed
+# by tests/test_convex.py::test_hull_decimation_support_error).
+_MAXHULLVERT = int(os.environ.get('MWTPU_MAXHULLVERT', 64))
+
+_hull_cache = {}
+
+
+def _support_verts(verts: np.ndarray, cap: int) -> np.ndarray:
+  """Support-equivalent vertex subset: convex hull, decimated to <=cap
+  by keeping the winners of a dense spherical direction sample."""
+  key = (verts.tobytes(), cap)
+  hit = _hull_cache.get(key)
+  if hit is not None:
+    return hit
+  hv = verts
+  if len(verts) > 4:
+    try:
+      from scipy.spatial import ConvexHull
+      hv = verts[np.unique(ConvexHull(verts).vertices)]
+    except Exception:
+      hv = verts
+  if len(hv) > cap:
+    # greedy support-deficit minimization over a Fibonacci-sphere
+    # direction sample: repeatedly add the vertex that wins the
+    # currently worst-covered direction — directly minimizes the
+    # max support error the subset can exhibit
+    n = max(16 * cap, 2048)
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / n)
+    theta = np.pi * (1.0 + np.sqrt(5.0)) * i
+    dirs = np.stack([np.cos(theta) * np.sin(phi),
+                     np.sin(theta) * np.sin(phi), np.cos(phi)], axis=-1)
+    dots = dirs @ hv.T.astype(np.float64)      # (ndir, nh)
+    best = dots.max(axis=1)
+    winner = dots.argmax(axis=1)
+    sel = list(np.unique(winner[np.argmax(np.abs(dirs), axis=0)]))
+    cur = dots[:, sel].max(axis=1)
+    while len(sel) < cap:
+      j = int(np.argmax(best - cur))
+      v = int(winner[j])
+      if v in sel:  # worst direction already covered: numerically done
+        break
+      sel.append(v)
+      cur = np.maximum(cur, dots[:, v])
+    hv = hv[np.sort(np.asarray(sel))]
+  hv = np.ascontiguousarray(hv, np.float32)
+  _hull_cache[key] = hv
+  return hv
+
+
 def padded_mesh_verts(m, geom_ids):
-  """Static (n, maxvert, 3) vertex table for mesh geoms (convex hull =
-  all vertices; support = argmax vertex).  Non-mesh ids get a degenerate
-  point at the origin."""
-  import numpy as np
+  """Static (n, maxvert, 3) support-vertex table for mesh geoms (capped
+  convex hull, see ``_support_verts``; support = argmax vertex).
+  Non-mesh ids get a degenerate point at the origin."""
   ids = np.asarray(geom_ids)
-  counts = []
+  tabs = []
   for g in ids:
-    did = int(m.geom_dataid[g])
-    counts.append(int(m.mesh_vertnum[did]) if did >= 0 else 1)
-  maxv = max(counts)
-  out = np.zeros((len(ids), maxv, 3), np.float32)
-  mask = np.zeros((len(ids), maxv), bool)
-  for i, g in enumerate(ids):
     did = int(m.geom_dataid[g])
     if did >= 0:
       adr, num = int(m.mesh_vertadr[did]), int(m.mesh_vertnum[did])
-      out[i, :num] = m.mesh_vert[adr:adr + num]
-      mask[i, :num] = True
+      tabs.append(_support_verts(np.asarray(m.mesh_vert[adr:adr + num],
+                                            np.float32), _MAXHULLVERT))
     else:
-      mask[i, 0] = True
+      tabs.append(np.zeros((1, 3), np.float32))
+  maxv = max(len(t) for t in tabs)
+  out = np.zeros((len(ids), maxv, 3), np.float32)
+  mask = np.zeros((len(ids), maxv), bool)
+  for i, t in enumerate(tabs):
+    out[i, :len(t)] = t
+    mask[i, :len(t)] = True
   return out, mask
 
 

@@ -182,3 +182,36 @@ def test_mesh_mesh_manifold_stability():
   assert abs(qpos[3]) > 0.99, f'cube tipped: quat {qpos[3:7]}'
   qvel = np.asarray(d.qvel)
   assert np.abs(qvel).max() < 0.05, f'still moving: {qvel}'
+
+
+def test_hull_decimation_support_error():
+  """Capped support-vertex tables stay support-accurate.
+
+  `padded_mesh_verts` replaces raw mesh vertices with a <=MAXHULLVERT
+  support-relevant hull subset (the TPU memory/bandwidth analog of
+  MuJoCo's `maxhullvert` compile option).  The support function of the
+  subset must match the full hull's within a small fraction of the mesh
+  radius over a dense direction sample.
+  """
+  from mujoco_warp_tpu.ops import collision_convex as cc
+
+  rng = np.random.default_rng(0)
+  # dense ellipsoidal point cloud: 2000 verts, radii (0.3, 0.2, 0.1)
+  u = rng.standard_normal((2000, 3))
+  u /= np.linalg.norm(u, axis=1, keepdims=True)
+  verts = (u * np.array([0.3, 0.2, 0.1])).astype(np.float32)
+
+  sub = cc._support_verts(verts, 64)
+  assert len(sub) <= 64
+
+  d = rng.standard_normal((4096, 3))
+  d /= np.linalg.norm(d, axis=1, keepdims=True)
+  full = (d @ verts.T).max(axis=1)
+  dec = (d @ sub.T).max(axis=1)
+  err = np.max(full - dec)
+  # a uniformly-curved ellipsoid is the worst case for vertex
+  # decimation: 64 verts give chordal error ~ r*theta^2/2 with
+  # theta ~ sqrt(4pi/64), i.e. ~0.015 at r=0.3 — the bound checks the
+  # greedy selection sits at that geometric floor (flat-faced
+  # manipulation meshes decimate near-exactly)
+  assert err < 0.016, f'support error {err}'
