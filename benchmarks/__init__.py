@@ -21,8 +21,13 @@ _REPO = os.path.join(os.path.dirname(__file__), '..', 'mujoco_warp_tpu',
 BENCHMARKS = {
     # flagship: the reference suite's own humanoid scene (27 DoF,
     # Newton+Euler, 8192 worlds) — apples-to-apples with BASELINE.md
+    # scene-tuned budgets (reference: nconmax=24/njmax=64,
+    # benchmarks/humanoid/__init__.py:1-9): measured rollout maxima are
+    # 4 active condim-1 / 8 active condim-3 contacts, so {1:6, 3:12}
+    # carries 1.5x headroom and 75 static EFC rows (vs reference's 64-row
+    # budget); overflow_worlds stays 0 over the 1000-step OU rollout
     'humanoid': (os.path.join(_REF, 'humanoid/humanoid.xml'), 8192, 1000,
-                 (), {1: 12, 3: 24}),
+                 (), {1: 6, 3: 12}),
     # 81-DoF sparse crossover scene from the reference suite
     'three_humanoids': (os.path.join(_REF, 'humanoid/three_humanoids.xml'),
                         8192, 1000, (), {1: 50, 3: 50}),

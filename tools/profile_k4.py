@@ -20,6 +20,7 @@ from mujoco_warp_tpu.pallas import fused
 
 NWORLD = int(os.environ.get('NWORLD', 1024))
 REPS = int(os.environ.get('REPS', 30))
+CAPS = eval(os.environ.get('CAPS', '{1: 12, 3: 24}'))
 
 
 def timeit(name, fn, *args):
@@ -36,7 +37,8 @@ def timeit(name, fn, *args):
 
 def main():
   mjm = benchmarks.load_humanoid_benchmark()
-  m, d = benchmarks.build(mjm, NWORLD)
+  m, d = benchmarks.build(mjm, NWORLD, nconmax=CAPS)
+  print('caps', CAPS, 'nefc', m.nefc, 'ncon', m.ncon)
   st = fused.to_lane(m, d)
   # settle into a warmstarted steady state so iteration counts are
   # representative of the benchmark's rollout
@@ -67,13 +69,13 @@ def main():
              sc(jax.device_get(m.stat.meaninertia)),
              sc(jax.device_get(m.opt.timestep)), sc(impratio_inv))
 
-  def k4_with(name, niters=None, nls=None, mm=None):
+  def k4_with(name, niters=None, nls=None, mm=None, damped=True):
     mm = mm or m
     it = int(jax.device_get(m.opt.iterations)) if niters is None else niters
     ls = (int(jax.device_get(m.opt.ls_iterations)) if nls is None else nls)
     mm = mm.replace(opt=mm.opt.replace(iterations=it, ls_iterations=ls))
     timeit(name,
-           lambda *a: fused._k4_call(mm, True, *a, con, scalars),
+           lambda *a: fused._k4_call(mm, damped, *a, con, scalars),
            qM, qLD, qfs, st.warmstart, st.qvel, st.qpos, cdof)
 
   k4_with('K4 full (defaults)')
@@ -85,6 +87,8 @@ def main():
   # no contact rows (limits only)
   mm = m.replace(opt=m.opt.replace(run_collision_detection=False))
   k4_with('K4 it=0 no-contacts', 0, 0, mm=mm)
+  k4_with('K4 it=0 undamped', 0, 0, damped=False)
+  k4_with('K4 full undamped', damped=False)
   print('opt.iterations', int(jax.device_get(m.opt.iterations)),
         'opt.ls_iterations', int(jax.device_get(m.opt.ls_iterations)),
         'niter_mean', float(jnp.mean(st.solver_niter)), flush=True)
