@@ -22,12 +22,13 @@ BENCHMARKS = {
     # flagship: the reference suite's own humanoid scene (27 DoF,
     # Newton+Euler, 8192 worlds) — apples-to-apples with BASELINE.md
     # scene-tuned budgets (reference: nconmax=24/njmax=64,
-    # benchmarks/humanoid/__init__.py:1-9): measured rollout maxima are
-    # 4 active condim-1 / 8 active condim-3 contacts, so {1:6, 3:12}
-    # carries 1.5x headroom and 75 static EFC rows (vs reference's 64-row
-    # budget); overflow_worlds stays 0 over the 1000-step OU rollout
+    # benchmarks/humanoid/__init__.py:1-9): {1:12, 3:24} is the measured
+    # overflow-0 budget over the 1000-step OU rollout at 8192 worlds
+    # (driver TPU run 2026-08-19: overflow_worlds=0; tighter budgets
+    # {1:6,3:12}/{1:10,3:20} overflow in hundreds of worlds and are not
+    # valid configs — numbers count only at overflow_worlds=0)
     'humanoid': (os.path.join(_REF, 'humanoid/humanoid.xml'), 8192, 1000,
-                 (), {1: 6, 3: 12}),
+                 (), {1: 12, 3: 24}),
     # 81-DoF sparse crossover scene from the reference suite
     'three_humanoids': (os.path.join(_REF, 'humanoid/three_humanoids.xml'),
                         8192, 1000, (), {1: 50, 3: 50}),

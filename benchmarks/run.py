@@ -13,6 +13,13 @@ import json
 import os
 import sys
 
+# `python benchmarks/run.py` puts benchmarks/ itself on sys.path, not the
+# repo root — add the root so `import benchmarks` / `import
+# mujoco_warp_tpu` resolve regardless of invocation style
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+  sys.path.insert(0, _ROOT)
+
 
 def main(argv=None):
   p = argparse.ArgumentParser()

@@ -246,20 +246,27 @@ def run(mjm, nworld: int = 8192, nstep: int = 100, seed: int = 0,
   else:
     base_i = lambda i: None
 
+  # global step counter: the replayed ctrl advances monotonically across
+  # warmup and the timed loop (the reference unroll's replay semantics)
+  gstep = 0
   t0 = time.perf_counter()
   d, key, noise = step(d, key, noise, do_sort(0), base_i(0))
   jax.block_until_ready(d)
   jit_duration = time.perf_counter() - t0
+  gstep += 1
   if sort_every > 1:  # compile the no-sort variant too, outside the timing
-    d, key, noise = step(d, key, noise, False, base_i(0))
+    d, key, noise = step(d, key, noise, False, base_i(gstep))
     jax.block_until_ready(d)
-  for i in range(warmup_steps - 1):
-    d, key, noise = step(d, key, noise, do_sort(i), base_i(i))
+    gstep += 1
+  for _ in range(warmup_steps - 1):
+    d, key, noise = step(d, key, noise, do_sort(gstep), base_i(gstep))
+    gstep += 1
   d = jax.block_until_ready(d)
 
   t0 = time.perf_counter()
-  for i in range(nstep):
-    d, key, noise = step(d, key, noise, do_sort(i), base_i(i))
+  for _ in range(nstep):
+    d, key, noise = step(d, key, noise, do_sort(gstep), base_i(gstep))
+    gstep += 1
   d = jax.block_until_ready(d)
   run_time = time.perf_counter() - t0
 

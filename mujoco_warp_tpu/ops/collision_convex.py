@@ -46,9 +46,11 @@ import os
 # support function reads the whole vertex table once per iteration per
 # candidate pair, so at 8192 worlds x 24 slots a raw 1159-vertex mesh
 # costs gigabytes of HBM traffic per step — a capped support-relevant
-# hull subset makes it ~150 MB.  Exactness: support(hull) == support
-# (mesh); the <=cap subset is the inner hull of the vertices that win
-# the most support queries over a dense direction sample (error printed
+# hull subset makes it ~150 MB.  The <=cap subset is support-APPROXIMATE
+# (bounded error, matching MuJoCo's `maxhullvert` compiler-option
+# semantics): it keeps the vertices that win the most support queries
+# over a dense direction sample, so high-vertex curved meshes can
+# activate contacts slightly later/shallower (worst-case bound measured
 # by tests/test_convex.py::test_hull_decimation_support_error).
 _MAXHULLVERT = int(os.environ.get('MWTPU_MAXHULLVERT', 64))
 
@@ -58,7 +60,10 @@ _hull_cache = {}
 def _support_verts(verts: np.ndarray, cap: int) -> np.ndarray:
   """Support-equivalent vertex subset: convex hull, decimated to <=cap
   by keeping the winners of a dense spherical direction sample."""
-  key = (verts.tobytes(), cap)
+  # hash-keyed (not the raw bytes) so the cache doesn't retain full
+  # vertex buffers for the process lifetime across model sweeps
+  import hashlib
+  key = (hashlib.sha1(verts.tobytes()).hexdigest(), verts.shape, cap)
   hit = _hull_cache.get(key)
   if hit is not None:
     return hit

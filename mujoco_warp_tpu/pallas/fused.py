@@ -1173,7 +1173,6 @@ def _make_k4(m: types.Model, dtype, damped: bool):
   nv, nq, nefc, ncon = m.nv, m.nq, m.nefc, m.ncon
   limits = _limit_tables(m)
   refsafe = not (m.opt.disableflags & types.DisableBit.REFSAFE)
-  damping = _host(m.dof_damping, np.float32)
   con_dim = m.con_dim if ncon else np.zeros(0, np.int32)
   run_con = bool(ncon and m.opt.run_collision_detection)
   jnt_meta = [(int(m.jnt_type[j]), int(m.jnt_qposadr[j]),
