@@ -979,12 +979,13 @@ def put_model(mjm: mujoco.MjModel, dtype=np.float32,
     solref, solreffriction, solimp, margin, gap, friction = \
         collision_driver._mix_params(
             m, pairs.pair_geom1[cp], pairs.pair_geom2[cp],
-            pairs.pair_explicit[cp], dtype)
+            pairs.pair_explicit[cp], dtype, host=True)
     m = m.replace(
-        cand_friction=friction, cand_solref=solref,
-        cand_solreffriction=solreffriction, cand_solimp=solimp,
-        cand_includemargin=(margin - gap).astype(dtype),
-        cand_margin=margin.astype(dtype))
+        cand_friction=_jnp(friction, dtype), cand_solref=_jnp(solref, dtype),
+        cand_solreffriction=_jnp(solreffriction, dtype),
+        cand_solimp=_jnp(solimp, dtype),
+        cand_includemargin=_jnp(margin - gap, dtype),
+        cand_margin=_jnp(margin, dtype))
   return m
 
 
@@ -1075,8 +1076,19 @@ def make_data(m: types.Model, nworld: Optional[int] = None,
     from mujoco_warp_tpu.ops import history as history_ops
     d = history_ops.init_history(m, d)
   if nworld is not None:
-    d = jax.tree.map(lambda x: jnp.broadcast_to(x, (nworld,) + x.shape), d)
+    d = _broadcast_worlds(d, nworld)
   return d
+
+
+def _broadcast_worlds(d: types.Data, nworld: int) -> types.Data:
+  """Add the leading world axis to every leaf in ONE jitted program.
+
+  Eager per-leaf ``broadcast_to`` dispatches ~50 distinct XLA programs
+  (one compile per shape), which dominates make_data on tunneled devices;
+  a single jit compiles once and emits fused broadcasts.
+  """
+  return jax.jit(lambda t: jax.tree.map(
+      lambda x: jnp.broadcast_to(x, (nworld,) + x.shape), t))(d)
 
 
 def _empty_data(m: types.Model, dtype=np.float32) -> types.Data:
@@ -1216,7 +1228,7 @@ def put_data(mjm: mujoco.MjModel, mjd: mujoco.MjData, m: types.Model,
     d = d.replace(tree_asleep=jnp.asarray(
         _asleep_cycles_to_labels(np.asarray(mjd.tree_asleep))))
   if nworld is not None:
-    d = jax.tree.map(lambda x: jnp.broadcast_to(x, (nworld,) + x.shape), d)
+    d = _broadcast_worlds(d, nworld)
   return d
 
 
@@ -1511,12 +1523,14 @@ def override_model(m: types.Model, overrides) -> types.Model:
             m, m.pair_geom1[cp], m.pair_geom2[cp],
             np.asarray([-1] * len(cp), np.int32)
             if m.pair_explicit is None else m.pair_explicit[cp],
-            np.float32)
+            np.float32, host=True)
     m = m.replace(
-        cand_friction=friction, cand_solref=solref,
-        cand_solreffriction=solreffriction, cand_solimp=solimp,
-        cand_includemargin=(margin - gap).astype(np.float32),
-        cand_margin=margin.astype(np.float32))
+        cand_friction=_jnp(friction, np.float32),
+        cand_solref=_jnp(solref, np.float32),
+        cand_solreffriction=_jnp(solreffriction, np.float32),
+        cand_solimp=_jnp(solimp, np.float32),
+        cand_includemargin=_jnp(margin - gap, np.float32),
+        cand_margin=_jnp(margin, np.float32))
   return m
 
 

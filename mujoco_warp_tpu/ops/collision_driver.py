@@ -248,66 +248,82 @@ def collision_pairs(mjm: mujoco.MjModel) -> CollisionPairs:
 
 
 def _mix_params(m: types.Model, g1: np.ndarray, g2: np.ndarray,
-                explicit: np.ndarray, dtype):
+                explicit: np.ndarray, dtype, host: bool = False):
   """Contact parameter mixing (reference: collision_core.py:317-473).
 
   solmix-weighted solref/solimp, priority override, max margin/gap,
   per-component max friction; explicit <pair> rows take their own params.
+
+  ``host=True`` computes in pure numpy from device_get copies —
+  put_model's one-time hoist; eager jnp here dispatches ~50 XLA programs
+  over the candidate table (tens of seconds for 30k-candidate mesh
+  scenes on a tunneled device).  ``host=False`` stays jnp-traceable for
+  batch_model's vmap over per-world params.
   """
+  if host:
+    xp = np
+    F = lambda a: np.asarray(jax.device_get(a))
+  else:
+    xp = jnp
+    F = lambda a: a
+
   p1 = m.geom_priority[g1]
   p2 = m.geom_priority[g2]
   use1 = (p1 > p2).astype(dtype)[:, None]
   use2 = (p2 > p1).astype(dtype)[:, None]
   eq = 1.0 - use1 - use2
-  use1_j = jnp.asarray(use1)
-  use2_j = jnp.asarray(use2)
-  eq_j = jnp.asarray(eq)
+  use1_j = xp.asarray(use1)
+  use2_j = xp.asarray(use2)
+  eq_j = xp.asarray(eq)
 
-  s1 = m.geom_solmix[g1]
-  s2 = m.geom_solmix[g2]
-  mix = s1 / jnp.maximum(s1 + s2, 1e-12)
-  mix = jnp.where((s1 < 1e-12) & (s2 < 1e-12), 0.5, mix)
-  mix = jnp.where((s1 < 1e-12) & (s2 >= 1e-12), 0.0, mix)
-  mix = jnp.where((s1 >= 1e-12) & (s2 < 1e-12), 1.0, mix)
+  s1 = F(m.geom_solmix)[g1]
+  s2 = F(m.geom_solmix)[g2]
+  mix = s1 / xp.maximum(s1 + s2, 1e-12)
+  mix = xp.where((s1 < 1e-12) & (s2 < 1e-12), 0.5, mix)
+  mix = xp.where((s1 < 1e-12) & (s2 >= 1e-12), 0.0, mix)
+  mix = xp.where((s1 >= 1e-12) & (s2 < 1e-12), 1.0, mix)
   mix = (eq_j[:, 0] * mix + use1_j[:, 0] * 1.0 + use2_j[:, 0] * 0.0)[:, None]
 
-  sr1, sr2 = m.geom_solref[g1], m.geom_solref[g2]
+  sr1, sr2 = F(m.geom_solref)[g1], F(m.geom_solref)[g2]
   standard = (sr1[:, [0]] > 0) & (sr2[:, [0]] > 0)
-  solref = jnp.where(standard, mix * sr1 + (1 - mix) * sr2,
-                     jnp.minimum(sr1, sr2))
-  solimp = mix * m.geom_solimp[g1] + (1 - mix) * m.geom_solimp[g2]
+  solref = xp.where(standard, mix * sr1 + (1 - mix) * sr2,
+                    xp.minimum(sr1, sr2))
+  solimp = mix * F(m.geom_solimp)[g1] + (1 - mix) * F(m.geom_solimp)[g2]
 
-  margin = jnp.maximum(m.geom_margin[g1], m.geom_margin[g2])
-  gap = jnp.maximum(m.geom_gap[g1], m.geom_gap[g2])
+  margin = xp.maximum(F(m.geom_margin)[g1], F(m.geom_margin)[g2])
+  gap = xp.maximum(F(m.geom_gap)[g1], F(m.geom_gap)[g2])
 
-  f1, f2 = m.geom_friction[g1], m.geom_friction[g2]
-  fmax = jnp.maximum(f1, f2)
+  f1, f2 = F(m.geom_friction)[g1], F(m.geom_friction)[g2]
+  fmax = xp.maximum(f1, f2)
   fr3 = eq_j * fmax + use1_j * f1 + use2_j * f2
-  friction = jnp.stack(
+  friction = xp.stack(
       [fr3[:, 0], fr3[:, 0], fr3[:, 1], fr3[:, 2], fr3[:, 2]], axis=-1)
 
-  solreffriction = jnp.zeros_like(solref)
+  solreffriction = xp.zeros_like(solref)
 
   # explicit pair overrides (static mask)
   has_expl = np.any(explicit >= 0)
   if has_expl:
     e = np.maximum(explicit, 0)
-    is_e = jnp.asarray((explicit >= 0).astype(dtype))[:, None]
-    solref = jnp.where(is_e > 0, m.pair_solref[e], solref)
-    solreffriction = jnp.where(is_e > 0, m.pair_solreffriction[e],
-                               solreffriction)
-    solimp = jnp.where(is_e > 0, m.pair_solimp[e], solimp)
-    margin = jnp.where(is_e[:, 0] > 0, m.pair_margin[e], margin)
-    gap = jnp.where(is_e[:, 0] > 0, m.pair_gap[e], gap)
-    friction = jnp.where(is_e > 0, m.pair_friction[e], friction)
+    is_e = xp.asarray((explicit >= 0).astype(dtype))[:, None]
+    solref = xp.where(is_e > 0, F(m.pair_solref)[e], solref)
+    solreffriction = xp.where(is_e > 0, F(m.pair_solreffriction)[e],
+                              solreffriction)
+    solimp = xp.where(is_e > 0, F(m.pair_solimp)[e], solimp)
+    margin = xp.where(is_e[:, 0] > 0, F(m.pair_margin)[e], margin)
+    gap = xp.where(is_e[:, 0] > 0, F(m.pair_gap)[e], gap)
+    friction = xp.where(is_e > 0, F(m.pair_friction)[e], friction)
 
   # global contact override (EnableBit.OVERRIDE)
   if m.opt.enableflags & types.EnableBit.OVERRIDE:
     o = m.opt
-    margin = jnp.full_like(margin, o.o_margin)
-    solref = jnp.broadcast_to(o.o_solref, solref.shape)
-    solimp = jnp.broadcast_to(o.o_solimp, solimp.shape)
-    friction = jnp.broadcast_to(o.o_friction, friction.shape)
+    margin = xp.full_like(margin, F(o.o_margin) if host else o.o_margin)
+    solref = xp.broadcast_to(F(o.o_solref) if host else o.o_solref,
+                             solref.shape)
+    solimp = xp.broadcast_to(F(o.o_solimp) if host else o.o_solimp,
+                             solimp.shape)
+    friction = xp.broadcast_to(F(o.o_friction) if host else o.o_friction,
+                               friction.shape)
 
   return solref, solreffriction, solimp, margin, gap, friction
 
