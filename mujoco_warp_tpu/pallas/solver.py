@@ -36,6 +36,16 @@ from mujoco_warp_tpu import types
 TILE_W = 128
 _MINVAL = 1e-15
 _VMEM_BUDGET = 96 * 1024 * 1024
+# A/B knobs for the Newton-loop optimizations (trace-time; default OFF
+# until TPU-measured at overflow 0 — see benchmarks/results_r5.jsonl):
+# MWTPU_FREUSE — skip the H rebuild + Cholesky when no constraint state
+# flipped in the tile (reference solver.py:1905 incremental-H analog);
+# MWTPU_EV3 — evaluate the 3 linesearch candidate alphas in one stacked
+# (3·nefc, W) pass per bracket trip (3x fewer VPU instructions).
+import os as _os
+
+_FREUSE = _os.environ.get('MWTPU_FREUSE', '0') != '0'
+_EV3 = _os.environ.get('MWTPU_EV3', '0') != '0'
 # beyond this nefc*nv, the unrolled H-build/Cholesky are replaced by
 # fori_loop forms over VMEM scratch (the unrolled forms emit O(nefc*nv^2)
 # vector instructions and blow up the Mosaic compile; the loop forms
@@ -466,9 +476,15 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
             qv=qv, f2=f2))
       return _ejoin(f, fparts), _ejoin(q, qparts), cone
 
-    def gradient(Ma, force, quad, cone=None):
-      qfrc_c = JT_vec(force)
-      grad = Ma - qfrc_smooth - qfrc_c
+    def factor(quad, cone=None):
+      """H = M + JᵀD_active J (+ cone blocks) -> lane-parallel Cholesky.
+
+      Small-dense path only (big is None).  Split from ``gradient`` so
+      the Newton loop can SKIP the rebuild when no constraint state
+      flipped (the lane form of the reference's incremental rank-k H
+      update, solver.py:1905-2012: per-tile, stable active set ==
+      unchanged H == reusable factor).
+      """
       Dq = D * quad  # (nefc, W)
 
       def _cone_col(i):
@@ -493,43 +509,49 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
             jnp.zeros((nhead, Dq.shape[-1]), dtype) if has_head else None,
             parts)
 
-      if big is None:
-        # fold D into the i-row so no (nefc, nv, W) J·D copy is
-        # materialized (VMEM peak would double otherwise).  Only the lower
-        # triangle is computed — _chol_tile never reads above the diagonal
-        # — halving the dominant JᵀDAJ cost (reference tiles the full H,
-        # solver.py:1905).  One-hot diag rows land on H's diagonal only.
-        Dqc = Dq[nl:] if nl else Dq
-        W = Dq.shape[-1]
-        Hrows = []
-        for i in range(nv):
-          if ncr:
-            JDi = J[:, i, :] * Dqc
-            if egroups:
-              JDi = JDi + _cone_col(i)
-            low = jnp.sum(JDi[:, None, :] * J[:, :i + 1, :],
-                          axis=0)  # (i+1, W)
+      # fold D into the i-row so no (nefc, nv, W) J·D copy is
+      # materialized (VMEM peak would double otherwise).  Only the lower
+      # triangle is computed — _chol_tile never reads above the diagonal
+      # — halving the dominant JᵀDAJ cost (reference tiles the full H,
+      # solver.py:1905).  One-hot diag rows land on H's diagonal only.
+      Dqc = Dq[nl:] if nl else Dq
+      W = Dq.shape[-1]
+      Hrows = []
+      for i in range(nv):
+        if ncr:
+          JDi = J[:, i, :] * Dqc
+          if egroups:
+            JDi = JDi + _cone_col(i)
+          low = jnp.sum(JDi[:, None, :] * J[:, :i + 1, :],
+                        axis=0)  # (i+1, W)
+        else:
+          low = jnp.zeros((i + 1, W), dtype)
+        rs = diag_by_dof.get(i)
+        if rs:
+          add = diag[rs[0]][1] ** 2 * Dq[rs[0]:rs[0] + 1]
+          for r in rs[1:]:
+            add = add + diag[r][1] ** 2 * Dq[r:r + 1]
+          if i:
+            low = jnp.concatenate([low[:i], low[i:i + 1] + add], axis=0)
           else:
-            low = jnp.zeros((i + 1, W), dtype)
-          rs = diag_by_dof.get(i)
-          if rs:
-            add = diag[rs[0]][1] ** 2 * Dq[rs[0]:rs[0] + 1]
-            for r in rs[1:]:
-              add = add + diag[r][1] ** 2 * Dq[r:r + 1]
-            if i:
-              low = jnp.concatenate([low[:i], low[i:i + 1] + add], axis=0)
-            else:
-              low = low + add
-          if i + 1 < nv:
-            low = jnp.concatenate(
-                [low, jnp.zeros((nv - i - 1, low.shape[-1]), dtype)],
-                axis=0)
-          Hrows.append(M[i] + low)
-        H = jnp.stack(Hrows, axis=0)  # (nv, nv, W); upper = M (unused)
-        L = _chol_tile(H, nv)
-        Mgrad = _chol_solve_tile(L, grad, nv)
-        return grad, Mgrad
+            low = low + add
+        if i + 1 < nv:
+          low = jnp.concatenate(
+              [low, jnp.zeros((nv - i - 1, low.shape[-1]), dtype)],
+              axis=0)
+        Hrows.append(M[i] + low)
+      H = jnp.stack(Hrows, axis=0)  # (nv, nv, W); upper = M (unused)
+      return _chol_tile(H, nv)
 
+    def gradient(Ma, force, quad, cone=None):
+      qfrc_c = JT_vec(force)
+      grad = Ma - qfrc_smooth - qfrc_c
+      if big is None:
+        L = factor(quad, cone)
+        Mgrad = _chol_solve_tile(L, grad, nv)
+        return grad, Mgrad, L
+
+      Dq = D * quad  # (nefc, W)
       # loop form: H rows via dynamic reads of the J input ref
       J_ref, H_scr, LT_scr, LR_scr = (big['J_ref'], big['H'], big['LT'],
                                       big['LR'])
@@ -548,7 +570,7 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
       # substitution's dynamic row reads
       LR_scr[:] = jnp.stack([LTv[j] for j in range(nv)], axis=1)
       Mgrad = _chol_solve_big(LT_scr, LR_scr, grad, nv)
-      return grad, Mgrad
+      return grad, Mgrad, None
 
     def linesearch(Ma, Jaref, search):
       jv = J_vec(search)
@@ -735,6 +757,76 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
           hessian = hessian + he
         return cost, grad, hessian
 
+      # ---- fused 3-alpha eval: the bracket loop evaluates lo_next /
+      # hi_next / mid every trip; stacking them on the row axis runs the
+      # identical arithmetic in one (3·nh, W) pass — 3x fewer VPU
+      # instructions where the op stream, not FLOPs, is the bottleneck.
+      # Alpha-independent row quantities are tiled once per linesearch.
+      use_ev3 = _EV3 and has_head
+      if use_ev3:
+        nh = Jah.shape[0]
+        Wl = Jah.shape[-1]
+        t3 = lambda v: jnp.concatenate([v, v, v], axis=0)
+        Jah3, jvh3 = t3(Jah), t3(jvh)
+        grad03, hess3 = t3(grad0), t3(hess)
+        offset3, cost03 = t3(offset), t3(cost0)
+        if has_eq or has_fri:
+          wqh3 = t3(wqh)
+        if has_eq:
+          weh3 = t3(weh)
+        if has_fri:
+          rfh3, flh3, jvD3 = t3(rfh), t3(flh), t3(jvD)
+          Dh3, cf03, wfh3 = t3(Dh), t3(cf0), t3(wfh)
+
+      def ev3(a0, a1, a2):
+        if not use_ev3:
+          return ev(a0), ev(a1), ev(a2)
+        alphas = (a0, a1, a2)
+        A = jnp.concatenate(
+            [jnp.broadcast_to(a, (nh, Wl)) for a in alphas], axis=0)
+        x = Jah3 + A * jvh3
+        g_eq = grad03 + A * hess3
+        c_eq = 0.5 * A * (grad03 + g_eq)
+        on = (x < 0.0).astype(dtype)
+        c_ql = jnp.where(x < 0.0, c_eq + offset3, -cost03)
+        g_ql = g_eq * on
+        h_ql = hess3 * on
+        if has_eq or has_fri:
+          c = wqh3 * c_ql
+          g = wqh3 * g_ql
+          h = wqh3 * h_ql
+          if has_eq:
+            c = c + weh3 * c_eq
+            g = g + weh3 * g_eq
+            h = h + weh3 * hess3
+          if has_fri:
+            mid = (-rfh3 < x) & (x < rfh3)
+            cf = jnp.where(mid, 0.5 * Dh3 * x * x,
+                           jnp.where(x <= -rfh3, flh3 * (-0.5 * rfh3 - x),
+                                     flh3 * (-0.5 * rfh3 + x)))
+            gf = jnp.where(mid, jvD3 * x,
+                           jnp.where(x <= -rfh3, -flh3 * jvh3,
+                                     flh3 * jvh3))
+            hf = hess3 * mid.astype(dtype)
+            c = c + wfh3 * (cf - cf03)
+            g = g + wfh3 * gf
+            h = h + wfh3 * hf
+        else:
+          c, g, h = c_ql, g_ql, h_ql
+        outs = []
+        for k, a in enumerate(alphas):
+          cs = jnp.sum(c[k * nh:(k + 1) * nh], axis=0, keepdims=True) \
+              + a * a * g2 + a * g1
+          gs = jnp.sum(g[k * nh:(k + 1) * nh], axis=0, keepdims=True) \
+              + 2.0 * a * g2 + g1
+          hs = jnp.sum(h[k * nh:(k + 1) * nh], axis=0, keepdims=True) \
+              + 2.0 * g2
+          if egroups:
+            ce, ge, he = _ell_ev(a)
+            cs, gs, hs = cs + ce, gs + ge, hs + he
+          outs.append((cs, gs, hs))
+        return outs
+
       def eval_p0():
         if not has_head:
           ge, he = _ell_p0()
@@ -792,9 +884,8 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
         lo_next_a = lo_a - _sdiv(lo_g, lo_h)
         hi_next_a = hi_a - _sdiv(hi_g, hi_h)
         mid_a = 0.5 * (lo_a + hi_a)
-        ln_c, ln_g, ln_h = ev(lo_next_a)
-        hn_c, hn_g, hn_h = ev(hi_next_a)
-        md_c, md_g, md_h = ev(mid_a)
+        ((ln_c, ln_g, ln_h), (hn_c, hn_g, hn_h),
+         (md_c, md_g, md_h)) = ev3(lo_next_a, hi_next_a, mid_a)
 
         def swap3(c, g, h, a, nc, ng, nh, na):
           sw = in_bracket(g, ng)
@@ -856,17 +947,38 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
     Jaref = J_vec(qacc_in) - aref
     Ma = mat_vec_M(qacc_in)
     force, quad, cone = update_constraint(Jaref)
-    grad, Mgrad = gradient(Ma, force, quad, cone)
+    grad, Mgrad, L0 = gradient(Ma, force, quad, cone)
     search = -Mgrad
 
+    # factor reuse: the Newton H depends on Jaref only through the
+    # constraint-state mask ``quad`` (pyramidal/limit rows), so when no
+    # row in the TILE flipped state this iteration the carried Cholesky
+    # factor is exact — skip the O(nefc·nv²) rebuild + O(nv³) factor via
+    # lax.cond (lane analog of reference solver.py:1905 incremental H /
+    # :1880 STABLE_FAST).  Elliptic cones are excluded: their middle-zone
+    # H blocks vary continuously with Jaref, not just with the mask.
+    use_reuse = _FREUSE and big is None and not egroups
+
     def newton_body(carry):
-      qacc, Ma, Jaref, force, search, niter, done_f = carry
+      qacc, Ma, Jaref, force, search, niter, done_f = carry[:7]
       alpha, improve, jv, mv = linesearch(Ma, Jaref, search)
       qacc_n = qacc + alpha * search
       Ma_n = Ma + alpha * mv
       Jaref_n = Jaref + alpha * jv
       force_n, quad_n, cone_n = update_constraint(Jaref_n)
-      grad_n, Mgrad_n = gradient(Ma_n, force_n, quad_n, cone_n)
+      if use_reuse:
+        Lc, quadc = carry[7], carry[8]
+        # done lanes ride junk alphas; freeze their mask so they cannot
+        # force spurious rebuilds
+        quad_k = jnp.where(done_f > 0, quadc, quad_n)
+        delta = jnp.sum(jnp.abs(quad_k - quadc))
+        L_n = jax.lax.cond(delta > 0.0, lambda: factor(quad_k),
+                           lambda: Lc)
+        qfrc_c = JT_vec(force_n)
+        grad_n = Ma_n - qfrc_smooth - qfrc_c
+        Mgrad_n = _chol_solve_tile(L_n, grad_n, nv)
+      else:
+        grad_n, Mgrad_n, _ = gradient(Ma_n, force_n, quad_n, cone_n)
       search_n = -Mgrad_n
 
       # done/niter are carried as f32 with anchored layouts: Mosaic cannot
@@ -883,12 +995,17 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
       done_nf = jnp.maximum(done_f, done_now)
 
       keep = lambda new, old: jnp.where(done_f > 0, old, new)
-      return (keep(qacc_n, qacc), keep(Ma_n, Ma), keep(Jaref_n, Jaref),
-              keep(force_n, force), keep(search_n, search),
-              _launder(niter_n, 2), _launder(done_nf, 3))
+      out = (keep(qacc_n, qacc), keep(Ma_n, Ma), keep(Jaref_n, Jaref),
+             keep(force_n, force), keep(search_n, search),
+             _launder(niter_n, 2), _launder(done_nf, 3))
+      if use_reuse:
+        # L_n needs no keep: done lanes' quad is frozen (quad_k), so a
+        # rebuild reproduces their old columns bit-exactly
+        out = out + (L_n, quad_k)
+      return out
 
     def newton_cond(carry):
-      return jnp.sum(1.0 - carry[-1]) > 0.0
+      return jnp.sum(1.0 - carry[6]) > 0.0
 
     W = qacc_in.shape[-1]
     # inits derive from a keepdims-reduction so their Mosaic layout is
@@ -906,6 +1023,8 @@ def solve_core(m: types.Model, dtype, J, D, aref, fl, M, qfrc_smooth,
         jnp.sum(grad * grad, 0, keepdims=True), 0.0))
     done0 = _launder((gnorm0 < tol).astype(dtype) + 0.0 * zrep, 3)
     carry = (qacc_in, Ma, Jaref, force, search, niter0, done0)
+    if use_reuse:
+      carry = carry + (L0, quad)
     carry = jax.lax.while_loop(newton_cond, newton_body, carry)
     return carry[0], carry[3], carry[5]
 
