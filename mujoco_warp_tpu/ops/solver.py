@@ -544,14 +544,23 @@ def _make_chol_solve(m):
   def cs(H, g):
     L = jax.scipy.linalg.cholesky(
         H + jnp.eye(H.shape[-1], dtype=H.dtype) * _MINVAL, lower=True)
+    if H.ndim == 3:  # tree-blocked (T, w, w): vmap over blocks
+      return jax.vmap(math.chol_solve)(L, g)
     return math.chol_solve(L, g)
 
   @cs.def_vmap
   def _cs_vmap(axis_size, in_batched, H, g):
     from mujoco_warp_tpu.pallas import linalg as plinalg
     nv = H.shape[-1]
+    # tree-blocked form arrives as (world, T, w, w): fold the block axis
+    # into the batch — T·world lane-parallel w-sized solves
+    blocked = H.ndim == 4
+    T = H.shape[1] if blocked else 1
+    if blocked:
+      H = H.reshape(axis_size * T, nv, nv)
+      g = g.reshape(axis_size * T, nv)
     lane_ok = (jax.default_backend() != 'cpu' and
-               axis_size % plinalg.TILE_W == 0 and
+               (axis_size * T) % plinalg.TILE_W == 0 and
                4 * plinalg.TILE_W * (4 * nv * nv + 6 * nv)
                < plinalg._VMEM_BUDGET)
     if lane_ok:
@@ -561,9 +570,92 @@ def _make_chol_solve(m):
       L = jax.scipy.linalg.cholesky(
           H + jnp.eye(nv, dtype=H.dtype)[None] * _MINVAL, lower=True)
       out = jax.vmap(math.chol_solve)(L, g)
+    if blocked:
+      out = out.reshape(axis_size, T, nv)
     return out, True
 
   return cs
+
+
+def _tree_spans(m: types.Model):
+  """Static per-tree contiguous dof spans [(start, ndof), ...] in dof
+  order, or None when tree-blocking does not apply.
+
+  Disjoint kinematic trees have a block-diagonal mass matrix, and EFC
+  rows whose bodies live in one tree touch only that tree's dof columns
+  — so for multi-tree scenes the Newton Hessian is (nearly) tree-block-
+  diagonal.  Solving blocks instead of the full (nv, nv) system cuts the
+  H build by ~T× and the Cholesky by ~T²× (the TPU-static analog of the
+  reference's island-partitioned `solve_compact`, solver.py:4066: trees
+  are the compile-time island superset).
+
+  Gate (env MWTPU_TREE_BLOCK_H): 'auto' (default) requires that no
+  static candidate pair, equality, or tendon couples two trees — then
+  blockdiag(H) == H identically.  'on' opts in regardless: cross-tree
+  rows keep exact gradients/linesearch but their H coupling is dropped
+  (block-preconditioned Newton — same optimum, more iterations while
+  the bodies actually touch).  'off' disables."""
+  import os
+  mode = os.environ.get('MWTPU_TREE_BLOCK_H', 'auto')
+  if mode == 'off' or m.ntree <= 1 or m.nv == 0:
+    return None
+  treeid = np.asarray(m.body_treeid)[np.asarray(m.dof_bodyid)]
+  if mode != 'on':
+    bt = np.asarray(m.body_treeid)
+    gb = np.asarray(m.geom_bodyid)
+    if m.ncand:
+      b1 = gb[np.asarray(m.pair_geom1)]
+      b2 = gb[np.asarray(m.pair_geom2)]
+      if np.any((bt[b1] != bt[b2]) & (b1 != 0) & (b2 != 0)):
+        return None  # cross-tree contacts possible: dense H only
+    if m.neq or m.ntendon:
+      return None  # equality/tendon rows may couple trees: stay dense
+  spans = []
+  for t in range(m.ntree):
+    idx = np.nonzero(treeid == t)[0]
+    if idx.size == 0:
+      continue
+    if idx[-1] - idx[0] + 1 != idx.size:
+      return None  # non-contiguous tree dofs: keep the dense form
+    spans.append((int(idx[0]), int(idx.size)))
+  spans.sort()
+  if sum(n for _, n in spans) != m.nv or len(spans) <= 1:
+    return None
+  return spans
+
+
+def _blocked_mgrad(m, d, spans, Dq, grad):
+  """Mgrad via the tree-block-diagonal Hessian.
+
+  H_bd = blockdiag(H): every EFC row keeps its within-tree JᵀDJ
+  contributions; only cross-tree coupling blocks (rows whose contact
+  joins two trees) are dropped.  H_bd is SPD, the gradient stays exact,
+  and the exact linesearch still runs — so Newton converges to the same
+  optimum; when no cross-tree row is active (the common case: each
+  body touches the static world) the iterates are identical to the
+  dense form.  Blocks pad to the widest tree and stack on a leading
+  axis that the chol vmap rule folds into the world batch."""
+  dtype = grad.dtype
+  wmax = max(n for _, n in spans)
+  Hb, gb = [], []
+  for s, n in spans:
+    Jb = d.efc_J[:, s:s + n]
+    H = d.qM[s:s + n, s:s + n] + (Jb.T * Dq) @ Jb
+    if n < wmax:  # identity padding: solve returns 0 for pad rows
+      H = jnp.concatenate(
+          [H, jnp.zeros((n, wmax - n), dtype)], axis=1)
+      pad = jnp.concatenate(
+          [jnp.zeros((wmax - n, n), dtype),
+           jnp.eye(wmax - n, dtype=dtype)], axis=1)
+      H = jnp.concatenate([H, pad], axis=0)
+      g = jnp.concatenate([grad[s:s + n],
+                           jnp.zeros((wmax - n,), dtype)])
+    else:
+      g = grad[s:s + n]
+    Hb.append(H)
+    gb.append(g)
+  xb = _make_chol_solve(m)(jnp.stack(Hb), jnp.stack(gb))
+  return jnp.concatenate([xb[t, :n] for t, (_, n) in enumerate(spans)])
 
 
 def _gradient(m, d, st, Ma, force, state, Jaref, mu_scale):
@@ -574,10 +666,15 @@ def _gradient(m, d, st, Ma, force, state, Jaref, mu_scale):
     assert not (m.efc_compact or m.m_blocked), (
         'Newton needs the dense H; compact/blocked modes are CG-only')
     Dq = d.efc_D * (state == _QUADRATIC)
-    H = d.qM + (d.efc_J.T * Dq) @ d.efc_J
-    if m.opt.cone == types.ConeType.ELLIPTIC:
-      H = H + _cone_hessian(m, d, st, Jaref, state, mu_scale)
-    Mgrad = _make_chol_solve(m)(H, grad)
+    spans = (_tree_spans(m)
+             if m.opt.cone != types.ConeType.ELLIPTIC else None)
+    if spans is not None:
+      Mgrad = _blocked_mgrad(m, d, spans, Dq, grad)
+    else:
+      H = d.qM + (d.efc_J.T * Dq) @ d.efc_J
+      if m.opt.cone == types.ConeType.ELLIPTIC:
+        H = H + _cone_hessian(m, d, st, Jaref, state, mu_scale)
+      Mgrad = _make_chol_solve(m)(H, grad)
   else:
     Mgrad = smooth.solve_m(m, d, grad)
   return grad, Mgrad, qfrc_constraint

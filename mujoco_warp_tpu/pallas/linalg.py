@@ -64,8 +64,11 @@ def _stack_T(Lval, nv):
 
 def chol_batched(m: types.Model, A, jitter: float = 0.0,
                  interpret: bool = False):
-  """L with L Lᵀ = A for batched SPD A (W, nv, nv) → (W, nv, nv)."""
-  nv = m.nv
+  """L with L Lᵀ = A for batched SPD A (W, nv, nv) → (W, nv, nv).
+
+  The system size comes from A's trailing dims (== m.nv for the full
+  mass/Hessian systems; smaller for tree-blocked sub-systems)."""
+  nv = A.shape[-1]
   dtype = A.dtype
   W = A.shape[0]
   At = jnp.moveaxis(A.reshape(W, nv * nv), 0, -1)
@@ -106,7 +109,7 @@ def chol_batched(m: types.Model, A, jitter: float = 0.0,
 def chol_solve_batched(m: types.Model, qLD, rhs,
                        interpret: bool = False):
   """x = (L Lᵀ)⁻¹ rhs for batched (W, nv, nv) factor + (W, nv) rhs."""
-  nv = m.nv
+  nv = qLD.shape[-1]
   dtype = rhs.dtype
   W = rhs.shape[0]
   L = jnp.moveaxis(qLD.reshape(W, nv * nv), 0, -1)

@@ -36,15 +36,19 @@ from mujoco_warp_tpu import types
 TILE_W = 128
 _MINVAL = 1e-15
 _VMEM_BUDGET = 96 * 1024 * 1024
-# A/B knobs for the Newton-loop optimizations (trace-time; default OFF
-# until TPU-measured at overflow 0 — see benchmarks/results_r5.jsonl):
-# MWTPU_FREUSE — skip the H rebuild + Cholesky when no constraint state
-# flipped in the tile (reference solver.py:1905 incremental-H analog);
-# MWTPU_EV3 — evaluate the 3 linesearch candidate alphas in one stacked
-# (3·nefc, W) pass per bracket trip (3x fewer VPU instructions).
+# A/B knobs for the Newton-loop optimizations (trace-time).  TPU-measured
+# on the flagship humanoid, 8192 worlds x 1000 steps, overflow 0
+# (benchmarks/results_r5.jsonl, 2026-08-19):
+# MWTPU_FREUSE (default ON, +5.2%: 651,950 -> 685,907 steps/s) — skip the
+#   H rebuild + Cholesky when no constraint state flipped in the tile
+#   (reference solver.py:1905 incremental-H analog).
+# MWTPU_EV3 (default OFF, measured -4.9% alone / -0.3% with FREUSE and
+#   2x the compile) — evaluate the 3 linesearch candidate alphas in one
+#   stacked (3·nefc, W) pass per bracket trip; fewer VPU ops but the
+#   tripled row axis costs more than the op fusion saves at humanoid nefc.
 import os as _os
 
-_FREUSE = _os.environ.get('MWTPU_FREUSE', '0') != '0'
+_FREUSE = _os.environ.get('MWTPU_FREUSE', '1') != '0'
 _EV3 = _os.environ.get('MWTPU_EV3', '0') != '0'
 # beyond this nefc*nv, the unrolled H-build/Cholesky are replaced by
 # fori_loop forms over VMEM scratch (the unrolled forms emit O(nefc*nv^2)
