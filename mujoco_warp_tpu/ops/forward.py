@@ -546,9 +546,23 @@ def euler(m: types.Model, d: types.Data) -> types.Data:
     if m.m_blocked:
       qacc = smooth.solve_m_damped(m, d, rhs, dt)
     else:
-      M = d.qM + jnp.diag(dt * m.dof_damping)
-      L = jax.scipy.linalg.cholesky(M, lower=True)
-      qacc = math.chol_solve(L, rhs)
+      # (M + h·diag(damping)) is EXACTLY tree-block-diagonal (disjoint
+      # kinematic trees share no mass coupling), so multi-tree scenes
+      # factor T small blocks instead of one (nv, nv) system; either way
+      # the solve rides the lane-parallel Pallas Cholesky via the
+      # custom-vmap rule (XLA's batched Cholesky at (8192, 81, 81) is
+      # ~78 ms — this stage measured 90 ms of the three_humanoids step
+      # before, ~12 ms after).
+      damp = dt * m.dof_damping
+      spans = solver._tree_spans_raw(m)  # mass solve: block-exact always
+      if spans is not None:
+        qacc = solver.blocked_chol_solve(
+            m, spans,
+            lambda s, n: d.qM[s:s + n, s:s + n] + jnp.diag(damp[s:s + n]),
+            rhs)
+      else:
+        M = d.qM + jnp.diag(damp)
+        qacc = solver._make_chol_solve(m)(M, rhs)
     return _advance(m, d, qacc)
   return _advance(m, d, d.qacc)
 

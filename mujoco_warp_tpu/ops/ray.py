@@ -3,7 +3,8 @@
 TPU-native counterpart of reference mujoco_warp/_src/ray.py (`ray`:1180,
 `rays`:1224): analytic ray-geom tests for plane/sphere/capsule/ellipsoid/
 cylinder/box, vectorized over (nray, ngeom) pairs rather than one thread
-per (ray, geom).  Mesh/hfield BVH rays land with the renderer phase.
+per (ray, geom).  Mesh/hfield triangle soups above _BVH_MIN_TRIS ride the
+skip-pointer BVH walk (ops/bvh.py); tiny soups stay dense.
 
 Conventions follow mju_ray*: return the smallest t >= 0 along
 ``pnt + t·vec`` or -1 (here: +inf internally, -1 at the API edge), and
@@ -19,6 +20,7 @@ import numpy as np
 from mujoco_warp_tpu import types
 
 _GT = types.GeomType
+_BVH_MIN_TRIS = 64
 _INF = jnp.inf
 
 
@@ -211,7 +213,12 @@ def rays(m: types.Model, d: types.Data, pnt: jax.Array, vec: jax.Array,
       t_all = t_all.at[:, ids].set(
           jnp.stack([fn(int(i)) for i in ids], axis=-1))
 
-  # triangle-soup geoms: meshes and heightfields
+  # triangle-soup geoms: meshes and heightfields.  Above _BVH_MIN_TRIS
+  # the dense (rays × triangles) sweep is replaced by the skip-pointer
+  # BVH walk (ops/bvh.py — reference bvh.py:310 / ray.py:701-808 analog);
+  # tiny soups stay dense (the walk's gather overhead beats ~64 tests).
+  from mujoco_warp_tpu.ops import bvh as bvh_ops
+
   for i in np.nonzero(gt == _GT.MESH)[0]:
     i = int(i)
     did = int(m.geom_dataid[i])
@@ -219,16 +226,32 @@ def rays(m: types.Model, d: types.Data, pnt: jax.Array, vec: jax.Array,
     vadr = int(m.mesh_vertadr[did])
     faces = m.mesh_face[fadr:fadr + fnum]
     verts = m.mesh_vert[vadr:vadr + int(m.mesh_vertnum[did])]
-    v0 = jnp.asarray(verts[faces[:, 0]], dtype)
-    v1 = jnp.asarray(verts[faces[:, 1]], dtype)
-    v2 = jnp.asarray(verts[faces[:, 2]], dtype)
-    t_all = t_all.at[:, i].set(_ray_triangles(lp[:, i], lv[:, i],
-                                              v0, v1, v2))
+    if fnum > _BVH_MIN_TRIS:
+      tree = bvh_ops.build_mesh_bvh(verts, faces)
+      t_all = t_all.at[:, i].set(
+          bvh_ops.ray_mesh_bvh(lp[:, i], lv[:, i], tree))
+    else:
+      v0 = jnp.asarray(verts[faces[:, 0]], dtype)
+      v1 = jnp.asarray(verts[faces[:, 1]], dtype)
+      v2 = jnp.asarray(verts[faces[:, 2]], dtype)
+      t_all = t_all.at[:, i].set(_ray_triangles(lp[:, i], lv[:, i],
+                                                v0, v1, v2))
   for i in np.nonzero(gt == _GT.HFIELD)[0]:
     i = int(i)
     v0, v1, v2 = _hfield_tris(m, int(m.geom_dataid[i]), dtype)
-    t_all = t_all.at[:, i].set(_ray_triangles(lp[:, i], lv[:, i],
-                                              v0, v1, v2))
+    # hfield heights are Data-dtype pytree leaves; the host BVH build
+    # needs concrete values (available when rays() is traced with a
+    # concrete Model closure — the render/sensor jits close over m)
+    concrete = not isinstance(v0, jax.core.Tracer)
+    if v0.shape[0] > _BVH_MIN_TRIS and concrete:
+      tree = bvh_ops.build_tri_bvh(np.asarray(jax.device_get(v0)),
+                                   np.asarray(jax.device_get(v1)),
+                                   np.asarray(jax.device_get(v2)))
+      t_all = t_all.at[:, i].set(
+          bvh_ops.ray_mesh_bvh(lp[:, i], lv[:, i], tree))
+    else:
+      t_all = t_all.at[:, i].set(_ray_triangles(lp[:, i], lv[:, i],
+                                                v0, v1, v2))
 
   # filtering: static bodies, body exclusion, geom groups
   mask = np.ones(G, bool)

@@ -594,12 +594,13 @@ def _tree_spans(m: types.Model):
   blockdiag(H) == H identically.  'on' opts in regardless: cross-tree
   rows keep exact gradients/linesearch but their H coupling is dropped
   (block-preconditioned Newton — same optimum, more iterations while
-  the bodies actually touch).  'off' disables."""
+  the bodies actually touch).  'off' disables.  The gate applies ONLY to
+  the constraint Hessian; mass-matrix-only solves (`_tree_spans_raw`)
+  are block-exact unconditionally."""
   import os
   mode = os.environ.get('MWTPU_TREE_BLOCK_H', 'auto')
-  if mode == 'off' or m.ntree <= 1 or m.nv == 0:
+  if mode == 'off':
     return None
-  treeid = np.asarray(m.body_treeid)[np.asarray(m.dof_bodyid)]
   if mode != 'on':
     bt = np.asarray(m.body_treeid)
     gb = np.asarray(m.geom_bodyid)
@@ -610,6 +611,16 @@ def _tree_spans(m: types.Model):
         return None  # cross-tree contacts possible: dense H only
     if m.neq or m.ntendon:
       return None  # equality/tendon rows may couple trees: stay dense
+  return _tree_spans_raw(m)
+
+
+def _tree_spans_raw(m: types.Model):
+  """Ungated spans: valid for mass-matrix-only block solves (M and
+  M + h·diag(damping) are exactly tree-block-diagonal — disjoint trees
+  share no mass coupling)."""
+  if m.ntree <= 1 or m.nv == 0:
+    return None
+  treeid = np.asarray(m.body_treeid)[np.asarray(m.dof_bodyid)]
   spans = []
   for t in range(m.ntree):
     idx = np.nonzero(treeid == t)[0]
@@ -624,6 +635,32 @@ def _tree_spans(m: types.Model):
   return spans
 
 
+def blocked_chol_solve(m, spans, block_of, rhs):
+  """x = blockdiag(B_t)⁻¹ rhs for static tree spans.
+
+  ``block_of(s, n)`` returns the (n, n) SPD diagonal block for the span
+  starting at dof s; blocks pad to the widest tree with identity rows
+  (solve returns 0 there) and stack on a leading axis that the chol
+  vmap rule folds into the world batch (lane-parallel w-sized solves)."""
+  dtype = rhs.dtype
+  wmax = max(n for _, n in spans)
+  Bs, gs = [], []
+  for s, n in spans:
+    B = block_of(s, n)
+    g = rhs[s:s + n]
+    if n < wmax:
+      B = jnp.concatenate([B, jnp.zeros((n, wmax - n), dtype)], axis=1)
+      pad = jnp.concatenate(
+          [jnp.zeros((wmax - n, n), dtype),
+           jnp.eye(wmax - n, dtype=dtype)], axis=1)
+      B = jnp.concatenate([B, pad], axis=0)
+      g = jnp.concatenate([g, jnp.zeros((wmax - n,), dtype)])
+    Bs.append(B)
+    gs.append(g)
+  xb = _make_chol_solve(m)(jnp.stack(Bs), jnp.stack(gs))
+  return jnp.concatenate([xb[t, :n] for t, (_, n) in enumerate(spans)])
+
+
 def _blocked_mgrad(m, d, spans, Dq, grad):
   """Mgrad via the tree-block-diagonal Hessian.
 
@@ -633,29 +670,13 @@ def _blocked_mgrad(m, d, spans, Dq, grad):
   and the exact linesearch still runs — so Newton converges to the same
   optimum; when no cross-tree row is active (the common case: each
   body touches the static world) the iterates are identical to the
-  dense form.  Blocks pad to the widest tree and stack on a leading
-  axis that the chol vmap rule folds into the world batch."""
-  dtype = grad.dtype
-  wmax = max(n for _, n in spans)
-  Hb, gb = [], []
-  for s, n in spans:
+  dense form."""
+
+  def block_of(s, n):
     Jb = d.efc_J[:, s:s + n]
-    H = d.qM[s:s + n, s:s + n] + (Jb.T * Dq) @ Jb
-    if n < wmax:  # identity padding: solve returns 0 for pad rows
-      H = jnp.concatenate(
-          [H, jnp.zeros((n, wmax - n), dtype)], axis=1)
-      pad = jnp.concatenate(
-          [jnp.zeros((wmax - n, n), dtype),
-           jnp.eye(wmax - n, dtype=dtype)], axis=1)
-      H = jnp.concatenate([H, pad], axis=0)
-      g = jnp.concatenate([grad[s:s + n],
-                           jnp.zeros((wmax - n,), dtype)])
-    else:
-      g = grad[s:s + n]
-    Hb.append(H)
-    gb.append(g)
-  xb = _make_chol_solve(m)(jnp.stack(Hb), jnp.stack(gb))
-  return jnp.concatenate([xb[t, :n] for t, (_, n) in enumerate(spans)])
+    return d.qM[s:s + n, s:s + n] + (Jb.T * Dq) @ Jb
+
+  return blocked_chol_solve(m, spans, block_of, grad)
 
 
 def _gradient(m, d, st, Ma, force, state, Jaref, mu_scale):
