@@ -422,9 +422,11 @@ def _bp_groups(pairs, con_classes, con_compact,
     # auto policy: prune only groups whose narrowphase is expensive —
     # convex MPR / mesh-vertex colliders — or enormous.  Cheap analytic
     # primitive pairs (sphere/capsule/box) keep exact dense narrowphase:
-    # their cost is ~the prefilter's, and bounding-sphere bounds on
-    # capsule piles (three_humanoids crumples) are so loose the pack
-    # would drop real contacts and flag overflow constantly.
+    # their cost is ~the prefilter's, and even the rotated-AABB bounds on
+    # capsule piles (three_humanoids crumples) are loose enough that the
+    # pack drops real contacts — MEASURED 2026-08-19: pruning the 1068-
+    # pair capsule-capsule group at bcap=50 flagged CONTACT overflow in
+    # 1218/8192 worlds and ran 11% slower (prefilter+pack overhead).
     expensive = (key not in collision_primitive.PAIR_NCON or
                  key == (int(types.GeomType.PLANE),
                          int(types.GeomType.MESH)))

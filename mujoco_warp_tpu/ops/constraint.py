@@ -804,9 +804,6 @@ def _contact(m, d, rows, dtype):
     cpos = dist - margin
     active = dist < margin
 
-    jacp1, jacr1 = _jac(m, d, pos, body1)
-    jacp2, jacr2 = _jac(m, d, pos, body2)
-
     invweight = m.body_invweight0[body1, 0] + m.body_invweight0[body2, 0]
     if m.flex_iv_ids is not None:
       # interpolated flex vertices have no body: their point jacobian is
@@ -814,16 +811,48 @@ def _contact(m, d, rows, dtype):
       # only) and their inverse weight blends the node inverse masses.
       # Slot -> candidate identity holds (io rejects contact compaction
       # with interp flexes), so the patch sites are static.
+      jacp1, jacr1 = _jac(m, d, pos, body1)
+      jacp2, jacr2 = _jac(m, d, pos, body2)
       jacp1, jacr1 = _patch_iv_jac(m, idx, 0, jacp1, jacr1, dtype)
       jacp2, jacr2 = _patch_iv_jac(m, idx, 1, jacp2, jacr2, dtype)
       invweight = jnp.asarray(
           _static_contact_invw(m, idx), dtype)
-    jacp = jacp2 - jacp1  # (k, nv, 3)
-    jacr = jacr2 - jacr1
+      jacp = jacp2 - jacp1  # (k, nv, 3)
+      jacr = jacr2 - jacr1
+      Jp = jnp.einsum('kiv,kvj->kij', frame, jnp.swapaxes(jacp, 1, 2))
+      Jr = jnp.einsum('kiv,kvj->kij', frame, jnp.swapaxes(jacr, 1, 2))
+    else:
+      # frame-projected jacobian WITHOUT the (k, nv, 3) intermediates:
+      # frame_i · (lin_v + ang_v × off) = frame_i·lin_v + (off×frame_i)·ang_v
+      # (scalar triple product), so each projected row is a (3k, 3) ×
+      # (3, nv) matmul — batched onto the MXU under the world vmap, and
+      # the four jacp/jacr temporaries (each ~(k, nv, 3) × nworld in HBM)
+      # never materialize (they dominated make_constraint's cost at
+      # three_humanoids: k=100, nv=81, 8192 worlds).
+      ang = d.cdof[:, :3]  # (nv, 3)
+      lin = d.cdof[:, 3:]
+      bmask = jnp.asarray(m.tree.body_dof_mask, dtype)
+      brootid = jnp.asarray(m.body_rootid)
+      Fl = jnp.einsum('kij,vj->kiv', frame, lin)  # frame-projected lin
+      Fa = jnp.einsum('kij,vj->kiv', frame, ang)  # frame-projected ang
 
-    # translational/rotational rows projected on the contact frame
-    Jp = jnp.einsum('kiv,kvj->kij', frame, jnp.swapaxes(jacp, 1, 2))
-    Jr = jnp.einsum('kiv,kvj->kij', frame, jnp.swapaxes(jacr, 1, 2))
+      def proj(body):
+        if isinstance(body, np.ndarray):  # fold at trace time
+          mask = jnp.asarray(m.tree.body_dof_mask[body], dtype)
+          root = m.body_rootid[body]
+        else:
+          mask = bmask[body]
+          root = brootid[body]
+        off = pos - d.subtree_com[root]  # (k, 3)
+        w = jnp.cross(off[:, None, :], frame)  # (k, 3, 3) = off × rows
+        Jp_b = (Fl + jnp.einsum('kij,vj->kiv', w, ang)) * mask[:, None, :]
+        Jr_b = Fa * mask[:, None, :]
+        return Jp_b, Jr_b
+
+      Jp1, Jr1 = proj(body1)
+      Jp2, Jr2 = proj(body2)
+      Jp = Jp2 - Jp1
+      Jr = Jr2 - Jr1
     # (k, 3, nv) each: rows [n, t1, t2]
     friction = con.friction[idx]
     solref = con.solref[idx]
