@@ -248,7 +248,15 @@ def supported_features(m: types.Model) -> bool:
   # path with the solver/mass-chain megakernels handles large scenes
   if m.nv > 64 or m.ncand > 512 or m.nbody > 32:
     return False
-  if o.integrator != types.IntegratorType.EULER:
+  # EULER rides the damped in-kernel factor; IMPLICITFAST is admitted
+  # because for this gate's feature class the smooth-force velocity
+  # derivative is exactly −diag(dof_damping) (no tendons, FIXED gain,
+  # NONE bias ⇒ ∂qfrc_actuator/∂qvel = 0, derivative.py:32), so
+  # (M − h·qDeriv) == (M + h·diag(damping)) — the same lane Cholesky K4
+  # already builds for Euler's implicit damping (reference forward.py:579
+  # vs :388: identical linear solve for this class).
+  if o.integrator not in (types.IntegratorType.EULER,
+                          types.IntegratorType.IMPLICITFAST):
     return False
   if o.solver != types.SolverType.NEWTON:
     return False
@@ -1513,9 +1521,16 @@ def step_lane(m: types.Model, st: FusedState,
   qfs = _middle(m, bias, st.qpos, st.qvel, st.ctrl, dtype)
 
   damping = _host(m.dof_damping, np.float32)
-  damped = (not (m.opt.disableflags & (types.DisableBit.EULERDAMP |
-                                       types.DisableBit.DAMPER)) and
-            bool(np.any(damping > 0)))
+  if m.opt.integrator == types.IntegratorType.IMPLICITFAST:
+    # implicitfast ignores EULERDAMP; within the fused gate's feature
+    # class its (M − h·qDeriv) solve IS the damped factor (see
+    # supported_features)
+    damped = (not (m.opt.disableflags & types.DisableBit.DAMPER) and
+              bool(np.any(damping > 0)))
+  else:
+    damped = (not (m.opt.disableflags & (types.DisableBit.EULERDAMP |
+                                         types.DisableBit.DAMPER)) and
+              bool(np.any(damping > 0)))
   sc = lambda x: x.astype(dtype).reshape(1, 1)
   impratio_inv = 1.0 / jnp.maximum(m.opt.impratio.astype(dtype), _MINVAL)
   scalars = (sc(m.opt.tolerance), sc(m.opt.ls_tolerance),

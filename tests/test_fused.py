@@ -137,3 +137,59 @@ def test_fused_humanoid_vs_general():
   out = fused.from_lane(m, st, d)
   assert_close(out.qpos, ref.qpos, 'qpos', atol=2e-4, rtol=1e-3)
   assert_close(out.qvel, ref.qvel, 'qvel', atol=5e-3, rtol=5e-3)
+
+
+_IMPLICITFAST = """
+<mujoco>
+  <option timestep="0.004" integrator="implicitfast"/>
+  <worldbody>
+    <geom type="plane" size="3 3 .1"/>
+    <body pos="0 0 0.4">
+      <joint name="h1" type="hinge" axis="0 1 0" damping="0.6"/>
+      <geom type="capsule" size="0.04" fromto="0 0 0  0.3 0 0" mass="0.4"/>
+      <body pos="0.3 0 0">
+        <joint name="h2" type="hinge" axis="0 1 0" damping="0.3"/>
+        <geom type="capsule" size="0.035" fromto="0 0 0  0.25 0 0"
+              mass="0.25"/>
+      </body>
+    </body>
+    <body pos="0.6 0 0.2">
+      <freejoint/>
+      <geom type="sphere" size="0.08" mass="0.2"/>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor joint="h1" gear="1.5"/>
+    <motor joint="h2" gear="1.0"/>
+  </actuator>
+</mujoco>"""
+
+
+def test_fused_implicitfast_vs_general():
+  """IMPLICITFAST rides the fused path: for this gate's feature class
+  (no tendons, FIXED gain, NONE bias) the smooth-force velocity
+  derivative is exactly -diag(dof_damping), so K4's damped lane factor
+  IS the implicit solve (reference forward.py:579).  Must match the
+  general path's derivative.implicit step."""
+  mjm = mujoco.MjModel.from_xml_string(_IMPLICITFAST)
+  m = io.put_model(mjm)
+  assert fused.supported_features(m), 'implicitfast scene must pass gate'
+  d = io.make_data(m, nworld=TILE_W)
+  rng = np.random.default_rng(5)
+  d = d.replace(
+      qpos=d.qpos + 0.02 * jnp.asarray(
+          rng.standard_normal(d.qpos.shape).astype(np.float32)),
+      qvel=0.3 * jnp.asarray(
+          rng.standard_normal(d.qvel.shape).astype(np.float32)),
+      ctrl=0.5 * jnp.asarray(
+          rng.standard_normal(d.ctrl.shape).astype(np.float32)))
+  ref = d
+  gstep = jax.jit(jax.vmap(lambda dd: fwd.step(m, dd)))
+  for _ in range(5):
+    ref = gstep(ref)
+  st = fused.to_lane(m, d)
+  for _ in range(5):
+    st = fused.step_lane(m, st, interpret=True)
+  out = fused.from_lane(m, st, d)
+  assert_close(out.qpos, ref.qpos, 'qpos', atol=2e-4, rtol=1e-3)
+  assert_close(out.qvel, ref.qvel, 'qvel', atol=5e-3, rtol=5e-3)
