@@ -32,11 +32,18 @@ BENCHMARKS = {
     # 81-DoF sparse crossover scene from the reference suite
     'three_humanoids': (os.path.join(_REF, 'humanoid/three_humanoids.xml'),
                         8192, 1000, (), {1: 50, 3: 50}),
-    # dm_control humanoid carries 34 sensors (stays on the general path;
-    # the fused path skips sensordata) — the contact budget still cuts
-    # its EFC system ~3x vs lossless slots
+    # dm_control humanoid: 34 sensors, all within the fused sensor set
+    # (frame/joint/subtree/touch classes) — rides the fused path
     'humanoid_dmc': (os.path.join(_DMC, 'humanoid.xml'), 8192, 1000, (),
                      {1: 8, 3: 16}),
+    # G1-class stand-in (reference benchmarks/g1: implicitfast humanoid
+    # robot; menagerie assets unavailable in this zero-egress image, so
+    # the flagship humanoid runs under implicitfast — same integrator
+    # class, same fused-path coverage: K4's damped lane factor IS the
+    # (M − h·qDeriv) solve for FIXED-gain/NONE-bias actuators)
+    'humanoid_implicitfast': (os.path.join(_REF, 'humanoid/humanoid.xml'),
+                              8192, 1000, ('opt.integrator=implicitfast',),
+                              {1: 12, 3: 24}),
     'walker': (os.path.join(_DMC, 'walker.xml'), 8192, 1000, (), None),
     'cheetah': (os.path.join(_DMC, 'cheetah.xml'), 8192, 1000, (), None),
     'hopper': (os.path.join(_DMC, 'hopper.xml'), 8192, 1000, (), None),
@@ -61,6 +68,14 @@ BENCHMARKS = {
     # benchmarks/cloth/__init__.py:6)
     'cloth_ref': (os.path.join(_REF, 'cloth/scene.xml'), 32, 1000, (),
                   {3: 2200}),
+    # sleeping payoff class (reference benchmarks/aloha clutter: awake
+    # actuated arm + objects that settle and sleep; world-level skip
+    # never fires — gains come from masked sleeping rows + the solver's
+    # stable-state fast path).  Paired with _nosleep for the on/off line.
+    'clutter_arm': (os.path.join(_REPO, 'clutter_arm.xml'), 4096, 1000,
+                    (), None),
+    'clutter_arm_nosleep': (os.path.join(_REPO, 'clutter_arm.xml'), 4096,
+                            1000, ('opt.enableflags=0',), None),
     # mesh manipulation: the reference's aloha_pot test_data scene (204
     # geoms, 134 meshes, 23 DoF, 30,658 candidate pairs) — rides the
     # broadphase-pruned collision path; reference budget nconmax=24 and

@@ -101,6 +101,13 @@ def build(mjm, nworld: int, seed: int = 0, nconmax={1: 12, 3: 24},
       mjm.opt.cone = int(io._ENUM_VALUES['cone'][val.lower()]
                          if not val.isdigit() else int(val))
       overrides.remove(ov)
+    elif key == 'opt.integrator':
+      mjm.opt.integrator = int(io._ENUM_VALUES['integrator'][val.lower()]
+                               if not val.isdigit() else int(val))
+      overrides.remove(ov)
+    elif key == 'opt.enableflags':  # static: baked at put_model time
+      mjm.opt.enableflags = int(val)
+      overrides.remove(ov)
   m = io.put_model(mjm, nconmax=nconmax)
   if overrides:
     m = io.override_model(m, list(overrides))
