@@ -268,8 +268,21 @@ def supported_features(m: types.Model) -> bool:
              types.DisableBit.GRAVITY | types.DisableBit.WARMSTART |
              types.DisableBit.CLAMPCTRL):
     return False
-  if m.neq or m.ntendon or m.na or m.nhistory or m.nmocap:
+  if m.ntendon or m.na or m.nhistory or m.nmocap:
     return False
+  if m.neq:
+    # JOINT equality between 1-dof hinge/slide joints rides K4's dense
+    # eq rows (_eq_joint_tables); connect/weld need body xpos in-kernel
+    # (pending), tendon/flex need their machinery — general path
+    lay = m.efc
+    if (len(lay.connect_id) or len(lay.weld_id) or len(lay.tendon_id) or
+        len(lay.flex_id)):
+      return False
+    for eqid in lay.joint_id:
+      for j in (int(m.eq_obj1id[eqid]), int(m.eq_obj2id[eqid])):
+        if j >= 0 and int(m.jnt_type[j]) not in (int(_JT.HINGE),
+                                                 int(_JT.SLIDE)):
+          return False
   if not _sensors_ok(m):
     return False
   if m.nf:  # dof/tendon friction rows: not yet in the fused assembler
@@ -1146,6 +1159,43 @@ def _kbi_lane(tc, dr, i0, i1, i2, i3, i4, pos_imp, h, refsafe):
   return k, b, imp
 
 
+def _eq_joint_tables(m: types.Model):
+  """Static per-row tables for JOINT equality rows (constraint.py:499).
+
+  All quantities are model constants (the gate admits only 1-dof
+  hinge/slide joint pairs); runtime eq_active toggling needs the general
+  path — rows ride their eq_active0 default, matching the reference's
+  initial state."""
+  lay = m.efc
+  out = []
+  if not len(lay.joint_id):
+    return out
+  data = _host(m.eq_data)
+  sr = _host(m.eq_solref)
+  si = _host(m.eq_solimp)
+  iw = _host(m.dof_invweight0)
+  q0 = _host(m.qpos0)
+  for eqid in lay.joint_id:
+    eqid = int(eqid)
+    if not bool(m.eq_active0[eqid]):
+      continue
+    j1 = int(m.eq_obj1id[eqid])
+    j2 = int(m.eq_obj2id[eqid])
+    out.append(dict(
+        qadr1=int(m.jnt_qposadr[j1]), dadr1=int(m.jnt_dofadr[j1]),
+        has2=j2 > -1,
+        qadr2=int(m.jnt_qposadr[max(j2, 0)]),
+        dadr2=int(m.jnt_dofadr[max(j2, 0)]),
+        q01=float(q0[int(m.jnt_qposadr[j1])]),
+        q02=float(q0[int(m.jnt_qposadr[max(j2, 0)])]),
+        data=tuple(float(x) for x in data[eqid][:5]),
+        solref=tuple(float(x) for x in sr[eqid]),
+        solimp=tuple(float(x) for x in si[eqid]),
+        invw=float(iw[int(m.jnt_dofadr[j1])]) +
+        (float(iw[int(m.jnt_dofadr[max(j2, 0)])]) if j2 > -1 else 0.0)))
+  return out
+
+
 def _limit_tables(m: types.Model):
   jids = m.efc.lim_jnt_id
   out = []
@@ -1180,6 +1230,7 @@ def _onehot_row(val, idx, nv, W, dtype):
 def _make_k4(m: types.Model, dtype, damped: bool):
   nv, nq, nefc, ncon = m.nv, m.nq, m.nefc, m.ncon
   limits = _limit_tables(m)
+  eqs = _eq_joint_tables(m)
   refsafe = not (m.opt.disableflags & types.DisableBit.REFSAFE)
   con_dim = m.con_dim if ncon else np.zeros(0, np.int32)
   run_con = bool(ncon and m.opt.run_collision_detection)
@@ -1210,6 +1261,38 @@ def _make_k4(m: types.Model, dtype, damped: bool):
     # solve_core's ``diag``: they only touch H's diagonal and J·v on one
     # dof, so they skip the dense-row stack entirely
 
+    # ---- JOINT equality rows (constraint.py:499-638): always-active
+    # quadratic rows; J = e_{dof1} − poly'(q2)·e_{dof2} (dense: two
+    # entries, one with a dynamic coefficient)
+    eq_D_rows, eq_aref_rows = [], []
+    for t in eqs:
+      q1 = qpos[t['qadr1']:t['qadr1'] + 1]
+      d0, d1_, d2_, d3_, d4_ = t['data']
+      if t['has2']:
+        dif = qpos[t['qadr2']:t['qadr2'] + 1] - t['q02']
+        rhs = d0 + dif * (d1_ + dif * (d2_ + dif * (d3_ + dif * d4_)))
+        deriv2 = d1_ + dif * (2.0 * d2_ + dif * (3.0 * d3_ +
+                                                 dif * 4.0 * d4_))
+        pos = q1 - t['q01'] - rhs
+        vel = (qvel[t['dadr1']:t['dadr1'] + 1] -
+               deriv2 * qvel[t['dadr2']:t['dadr2'] + 1])
+        Jrow = (_onehot_row(jnp.ones((1, W), dtype), t['dadr1'], nv, W,
+                            dtype) +
+                _onehot_row(-deriv2, t['dadr2'], nv, W, dtype))
+      else:
+        pos = q1 - t['q01'] - d0
+        vel = qvel[t['dadr1']:t['dadr1'] + 1]
+        Jrow = _onehot_row(jnp.ones((1, W), dtype), t['dadr1'], nv, W,
+                           dtype)
+      k, b, imp = _kbi_lane(t['solref'][0], t['solref'][1],
+                            t['solimp'][0], t['solimp'][1],
+                            t['solimp'][2], t['solimp'][3],
+                            t['solimp'][4], pos, h, refsafe)
+      J_rows.append(Jrow)
+      eq_D_rows.append(1.0 / jnp.maximum(t['invw'] * (1.0 - imp) / imp,
+                                         _MINVAL))
+      eq_aref_rows.append(-k * imp * pos - b * vel)
+
     # ---- joint limit rows (constraint.py:1990-2374, hinge/slide)
     for t in limits:
       q = qpos[t['qadr']:t['qadr'] + 1]
@@ -1228,6 +1311,11 @@ def _make_k4(m: types.Model, dtype, damped: bool):
       diag_rows.append((t['dadr'], sign * active))
       D_rows.append(D * active)
       aref_rows.append(aref * active)
+
+    # packed row order for solve_core: [diag limits | dense eq | dense
+    # contacts] — splice the equality D/aref after the limit rows
+    D_rows += eq_D_rows
+    aref_rows += eq_aref_rows
 
     # ---- contact rows (constraint.py:3743 dense contact Jacobian +
     # 4189 pyramidal update), per compact slot
@@ -1325,8 +1413,15 @@ def _make_k4(m: types.Model, dtype, damped: bool):
       Dv = jnp.concatenate(D_rows, axis=0)
       aref = jnp.concatenate(aref_rows, axis=0)
       fl = jnp.zeros((len(D_rows), W), dtype)
+      neqr = len(eq_D_rows)
+      w_eq = None
+      if neqr:  # packed rows [diag | eq | contacts]: mark eq positions
+        nl_k = len(diag_rows)
+        w_eq = jnp.concatenate(
+            [jnp.zeros((nl_k, 1), dtype), jnp.ones((neqr, 1), dtype),
+             jnp.zeros((len(D_rows) - nl_k - neqr, 1), dtype)], axis=0)
       qacc, _, niter = psolver.solve_core(
-          m, dtype, J, Dv, aref, fl, qM3, qfs, ws_ref[:], None, None,
+          m, dtype, J, Dv, aref, fl, qM3, qfs, ws_ref[:], w_eq, None,
           tol_ref[0, 0], lstol_ref[0, 0], mi_ref[0, 0], _launder,
           diag=diag_rows)
     else:

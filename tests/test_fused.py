@@ -193,3 +193,57 @@ def test_fused_implicitfast_vs_general():
   out = fused.from_lane(m, st, d)
   assert_close(out.qpos, ref.qpos, 'qpos', atol=2e-4, rtol=1e-3)
   assert_close(out.qvel, ref.qvel, 'qvel', atol=5e-3, rtol=5e-3)
+
+
+_EQJOINT = """
+<mujoco>
+  <option timestep="0.004"/>
+  <worldbody>
+    <geom type="plane" size="3 3 .1"/>
+    <body pos="0 0 0.4">
+      <joint name="j1" type="hinge" axis="0 1 0" damping="0.2"/>
+      <geom type="capsule" size="0.04" fromto="0 0 0  0.3 0 0" mass="0.4"/>
+      <body pos="0.3 0 0">
+        <joint name="j2" type="hinge" axis="0 1 0" damping="0.1"/>
+        <geom type="capsule" size="0.035" fromto="0 0 0  0.25 0 0"
+              mass="0.25"/>
+      </body>
+    </body>
+    <body pos="0.8 0 0.3">
+      <joint name="s1" type="slide" axis="0 0 1" damping="0.3"/>
+      <geom type="box" size="0.06 0.06 0.06" mass="0.3"/>
+    </body>
+  </worldbody>
+  <equality>
+    <joint joint1="j2" joint2="j1" polycoef="0.05 -0.6 0.08 0 0"/>
+    <joint joint1="s1" polycoef="0.12 0 0 0 0"/>
+  </equality>
+  <actuator><motor joint="j1" gear="1.0"/></actuator>
+</mujoco>"""
+
+
+def test_fused_equality_joint_vs_general():
+  """JOINT equality rows (coupled polynomial + constant-target) ride the
+  fused path and match the general path's oracle-tested assembly."""
+  mjm = mujoco.MjModel.from_xml_string(_EQJOINT)
+  m = io.put_model(mjm)
+  assert fused.supported_features(m), 'eq-joint scene must pass the gate'
+  d = io.make_data(m, nworld=TILE_W)
+  rng = np.random.default_rng(9)
+  d = d.replace(
+      qpos=d.qpos + 0.05 * jnp.asarray(
+          rng.standard_normal(d.qpos.shape).astype(np.float32)),
+      qvel=0.2 * jnp.asarray(
+          rng.standard_normal(d.qvel.shape).astype(np.float32)),
+      ctrl=0.3 * jnp.asarray(
+          rng.standard_normal(d.ctrl.shape).astype(np.float32)))
+  ref = d
+  gstep = jax.jit(jax.vmap(lambda dd: fwd.step(m, dd)))
+  for _ in range(5):
+    ref = gstep(ref)
+  st = fused.to_lane(m, d)
+  for _ in range(5):
+    st = fused.step_lane(m, st, interpret=True)
+  out = fused.from_lane(m, st, d)
+  assert_close(out.qpos, ref.qpos, 'qpos', atol=2e-4, rtol=1e-3)
+  assert_close(out.qvel, ref.qvel, 'qvel', atol=5e-3, rtol=5e-3)
