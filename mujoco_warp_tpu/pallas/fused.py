@@ -983,7 +983,7 @@ def _identity_con_xla(m: types.Model, dist, cpos, cframe, stcom, dtype):
   return con, jnp.zeros((1, W), jnp.int32)
 
 
-def _make_k1(m: types.Model, dtype):
+def _make_k1(m: types.Model, dtype, need_qLD=True):
   nb, nv, ngeom = m.nbody, m.nv, m.ngeom
   geom_pos = np.asarray(jax.device_get(m.geom_pos), np.float64)
   geom_quat = np.asarray(jax.device_get(m.geom_quat), np.float64)
@@ -992,11 +992,12 @@ def _make_k1(m: types.Model, dtype):
 
   def kernel(qpos_ref, qvel_ref, sizes_ref, arm_ref, grav_ref,
              *out_refs):
+    out_refs = list(out_refs)
+    qM_out = out_refs.pop(0)
+    qLD_out = out_refs.pop(0) if need_qLD else None
+    bias_out, cdof_out = out_refs.pop(0), out_refs.pop(0)
     if run_col:
-      (qM_out, qLD_out, bias_out, cdof_out, dist_out, cpos_out,
-       cframe_out, stcom_out) = out_refs
-    else:
-      qM_out, qLD_out, bias_out, cdof_out = out_refs
+      dist_out, cpos_out, cframe_out, stcom_out = out_refs
     qpos = qpos_ref[:]
     qvel = qvel_ref[:]
     sizes = sizes_ref[:]
@@ -1019,18 +1020,21 @@ def _make_k1(m: types.Model, dtype):
 
     qv = [qvel[i:i + 1] for i in range(nv)]
     qM, L, cvel, cdof_dot, bias = psmooth.mass_chain_core(
-        m, dtype, cinert, cdof, qv, arm_ref[:], grav_ref[:])
+        m, dtype, cinert, cdof, qv, arm_ref[:], grav_ref[:],
+        need_L=need_qLD)
 
     W = qpos.shape[-1]
     qM_out[:] = qM.reshape(nv * nv, W)
-    qLD_out[:] = L.reshape(nv * nv, W)
+    if need_qLD:
+      qLD_out[:] = L.reshape(nv * nv, W)
     bias_out[:] = bias
     cdof_out[:] = jnp.concatenate(cdof, axis=0)
 
   return kernel
 
 
-def _k1_call(m: types.Model, qpos, qvel, interpret=False):
+def _k1_call(m: types.Model, qpos, qvel, interpret=False,
+             need_qLD=True):
   dtype = qpos.dtype
   W = qpos.shape[-1]
   nb, nv = m.nbody, m.nv
@@ -1050,10 +1054,13 @@ def _k1_call(m: types.Model, qpos, qvel, interpret=False):
       jnp.zeros((1, 1), dtype)
   arm = m.dof_armature.astype(dtype)[:, None]
   grav = m.opt.gravity.astype(dtype)[:, None]
-  out_specs = [bw(nv * nv), bw(nv * nv), bw(nv), bw(nv * 6)]
-  out_shape = [
-      jax.ShapeDtypeStruct((nv * nv, W), dtype),
-      jax.ShapeDtypeStruct((nv * nv, W), dtype),
+  out_specs = [bw(nv * nv)]
+  out_shape = [jax.ShapeDtypeStruct((nv * nv, W), dtype)]
+  if need_qLD:
+    out_specs.append(bw(nv * nv))
+    out_shape.append(jax.ShapeDtypeStruct((nv * nv, W), dtype))
+  out_specs += [bw(nv), bw(nv * 6)]
+  out_shape += [
       jax.ShapeDtypeStruct((nv, W), dtype),
       jax.ShapeDtypeStruct((nv * 6, W), dtype),
   ]
@@ -1066,7 +1073,7 @@ def _k1_call(m: types.Model, qpos, qvel, interpret=False):
         jax.ShapeDtypeStruct((nb * 3, W), dtype),
     ]
   outs = pl.pallas_call(
-      _make_k1(m, dtype),
+      _make_k1(m, dtype, need_qLD=need_qLD),
       grid=(W // TILE_W,),
       in_specs=[bw(m.nq), bw(nv), bstat(max(m.ngeom * 3, 1)), bstat(nv),
                 bstat(3)],
@@ -1227,25 +1234,40 @@ def _onehot_row(val, idx, nv, W, dtype):
   return jnp.concatenate(parts, axis=0)
 
 
+def _k4_has_rows(m: types.Model) -> bool:
+  """Static: does K4 assemble any constraint rows?  If so, it factors H
+  itself and the K1 qLD output is dead (see _k1_call need_qLD)."""
+  if len(m.efc.lim_jnt_id):
+    return True
+  if _eq_joint_tables(m):
+    return True
+  return bool(m.ncon and m.opt.run_collision_detection)
+
+
 def _make_k4(m: types.Model, dtype, damped: bool):
   nv, nq, nefc, ncon = m.nv, m.nq, m.nefc, m.ncon
   limits = _limit_tables(m)
   eqs = _eq_joint_tables(m)
+  has_rows = _k4_has_rows(m)
   refsafe = not (m.opt.disableflags & types.DisableBit.REFSAFE)
   con_dim = m.con_dim if ncon else np.zeros(0, np.int32)
   run_con = bool(ncon and m.opt.run_collision_detection)
   jnt_meta = [(int(m.jnt_type[j]), int(m.jnt_qposadr[j]),
                int(m.jnt_dofadr[j])) for j in range(m.njnt)]
 
-  def kernel(qM_ref, qLD_ref, qfs_ref, ws_ref, qvel_ref, qpos_ref,
-             cdof_ref, dist_ref, pos_ref, frame_ref, im_ref, fri_ref,
-             solref_ref, solimp_ref, invw_ref, mask1_ref, mask2_ref,
-             com1_ref, com2_ref, damp_ref, tol_ref, lstol_ref, mi_ref,
-             h_ref, ir_ref, qpos_out, qvel_out, warm_out, qacc_out,
-             niter_out, scr_ref):
+  def kernel(*refs):
+    refs = list(refs)
+    qM_ref = refs.pop(0)
+    qLD_ref = None if has_rows else refs.pop(0)
+    (qfs_ref, ws_ref, qvel_ref, qpos_ref, cdof_ref, dist_ref, pos_ref,
+     frame_ref, im_ref, fri_ref, solref_ref, solimp_ref, invw_ref,
+     mask1_ref, mask2_ref, com1_ref, com2_ref, damp_ref, tol_ref,
+     lstol_ref, mi_ref, h_ref, ir_ref, qpos_out, qvel_out, warm_out,
+     qacc_out, niter_out, scr_ref) = refs
     W = qpos_ref.shape[-1]
     qM3 = qM_ref[:].reshape(nv, nv, W)
-    L3 = qLD_ref[:].reshape(nv, nv, W)
+    L3 = (qLD_ref[:].reshape(nv, nv, W) if qLD_ref is not None
+          else None)
     qfs = qfs_ref[:]
     qpos = qpos_ref[:]
     qvel = qvel_ref[:]
@@ -1509,14 +1531,19 @@ def _k4_call(m: types.Model, damped, qM, qLD, qfs, ws, qvel, qpos, cdof,
                 z(5 * ncon), z(ncon), z(nv * ncon), z(nv * ncon),
                 z(3 * ncon), z(3 * ncon))
 
+  has_rows = _k4_has_rows(m)
+  head_args = (qM,) if has_rows else (qM, qLD)
+  head_specs = ([bw(nv * nv)] if has_rows
+                else [bw(nv * nv), bw(nv * nv)])
   return pl.pallas_call(
       _make_k4(m, dtype, damped),
       grid=(W // TILE_W,),
-      in_specs=[bw(nv * nv), bw(nv * nv), bw(nv), bw(nv), bw(nv), bw(nq),
-                bw(nv * 6), bw(ncon), bw(3 * ncon), bw(9 * ncon),
-                bw(ncon), bw(5 * ncon), bw(2 * ncon), bw(5 * ncon),
-                bw(ncon), bw(nv * ncon), bw(nv * ncon), bw(3 * ncon),
-                bw(3 * ncon), bstat(nv), smem, smem, smem, smem, smem],
+      in_specs=head_specs +
+      [bw(nv), bw(nv), bw(nv), bw(nq),
+       bw(nv * 6), bw(ncon), bw(3 * ncon), bw(9 * ncon),
+       bw(ncon), bw(5 * ncon), bw(2 * ncon), bw(5 * ncon),
+       bw(ncon), bw(nv * ncon), bw(nv * ncon), bw(3 * ncon),
+       bw(3 * ncon), bstat(nv), smem, smem, smem, smem, smem],
       out_specs=[bw(nq), bw(nv), bw(nv), bw(nv), bw(1)],
       out_shape=[
           jax.ShapeDtypeStruct((nq, W), dtype),
@@ -1529,7 +1556,7 @@ def _k4_call(m: types.Model, damped, qM, qLD, qfs, ws, qvel, qpos, cdof,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
-  )(qM, qLD, qfs, ws, qvel, qpos, cdof, *con_args, damp, *scalars)
+  )(*head_args, qfs, ws, qvel, qpos, cdof, *con_args, damp, *scalars)
 
 
 # --------------------------------------------------------- step / rollout
@@ -1604,10 +1631,14 @@ def step_lane(m: types.Model, st: FusedState,
               interpret: bool = False) -> FusedState:
   """One physics step on lane-form state (the fused fast path)."""
   dtype = st.qpos.dtype
-  k1 = _k1_call(m, st.qpos, st.qvel, interpret=interpret)
-  qM, qLD, bias, cdof = k1[:4]
+  need_qLD = not _k4_has_rows(m)
+  k1 = list(_k1_call(m, st.qpos, st.qvel, interpret=interpret,
+                     need_qLD=need_qLD))
+  qM = k1.pop(0)
+  qLD = k1.pop(0) if need_qLD else None
+  bias, cdof = k1.pop(0), k1.pop(0)
   if m.ncand and m.opt.run_collision_detection:
-    c_dist, c_pos, c_frame, stcom = k1[4:]
+    c_dist, c_pos, c_frame, stcom = k1
     compact = _compact_xla if m.con_compact else _identity_con_xla
     con, overflow = compact(m, c_dist, c_pos, c_frame, stcom, dtype)
   else:

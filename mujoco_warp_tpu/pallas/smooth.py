@@ -41,7 +41,7 @@ def supported(m: types.Model, d: types.Data) -> bool:
 
 
 def mass_chain_core(m: types.Model, dtype, ci, cdof, qv, armature,
-                    gravity, ancm=None):
+                    gravity, ancm=None, need_L=True):
   """crb → qM → Cholesky → com_vel → rne on one world tile, lanes-last.
 
   Pure function over VMEM values shared by the standalone mass-chain
@@ -126,8 +126,12 @@ def mass_chain_core(m: types.Model, dtype, ci, cdof, qv, armature,
     eye_f = eye.astype(dtype)
     qM = qM + eye_f[:, :, None] * armature[:, None, :]
     # large trees skip the in-kernel unrolled Cholesky (compile scale);
-    # the caller factors qM with XLA's batched MXU Cholesky instead
-    L = _chol_tile(qM, nv) if ancm is None else None
+    # the caller factors qM with XLA's batched MXU Cholesky instead.
+    # need_L=False skips it outright: when the model statically has
+    # constraint rows, the fused K4 factors H itself and the damped
+    # integrator builds its own (M + h·damp) factor — the O(nv³) factor
+    # and its (nv², W) HBM round trip are dead work
+    L = _chol_tile(qM, nv) if (ancm is None and need_L) else None
 
     # ---- com_vel: top-down accumulation (cvel[b] = cvel[parent] + own)
     cdof_qvel = [cdof[i] * qv[i] for i in range(nv)]
