@@ -31,9 +31,10 @@ _DISCOVER_ITERS = 16
 _REFINE_ITERS = 30
 # EPA-analog normal polish: pattern-search iterations on the two tangent
 # angles and the initial / per-iteration cone shrink (radians)
-_POLISH_ITERS = 14
+_POLISH_ITERS = 22
 _POLISH_SIGMA0 = 0.3
-_POLISH_SHRINK = 0.62
+_POLISH_SHRINK = 0.5
+_POLISH_GROW = 1.6
 
 CONVEX_TYPES = (int(_GT.SPHERE), int(_GT.CAPSULE), int(_GT.ELLIPSOID),
                 int(_GT.CYLINDER), int(_GT.BOX), int(_GT.MESH))
@@ -345,12 +346,17 @@ def mpr(t1: int, t2: int, pos1, mat1, size1, pos2, mat2, size2,
     return t1_, jnp.cross(u, t1_)
 
   w0, pa0, pb0 = sup(nrm)
-  carry = (nrm, dot(nrm, w0), pa0, pb0)
+  sig0 = jnp.full((nrm.shape[0], 1), _POLISH_SIGMA0, dtype)
+  carry = (nrm, dot(nrm, w0), pa0, pb0, sig0)
 
   def polish(i, carry):
-    u, h, pa, pb = carry
+    # adaptive pattern search: per-lane probe cone expands on success
+    # and shrinks on failure (a fixed geometric schedule stalls when a
+    # rejected step at scale σ_i hides an optimum σ_i away along a
+    # diagonal — the tail cases behind the old ~mm max errors)
+    u, h, pa, pb, sig = carry
     t1_, t2_ = _tangents(u)
-    sig = _POLISH_SIGMA0 * _POLISH_SHRINK ** i
+    improved = jnp.zeros((u.shape[0], 1), bool)
     for du in (t1_, -t1_, t2_, -t2_):
       ut = u + sig * du
       ut = ut / jnp.maximum(jnp.linalg.norm(ut, axis=-1, keepdims=True),
@@ -358,13 +364,17 @@ def mpr(t1: int, t2: int, pos1, mat1, size1, pos2, mat2, size2,
       wt, pat, pbt = sup(ut)
       ht = dot(ut, wt)
       better = (ht < h)[:, None]
+      improved = improved | better
       u = jnp.where(better, ut, u)
       pa = jnp.where(better, pat, pa)
       pb = jnp.where(better, pbt, pb)
       h = jnp.minimum(ht, h)
-    return u, h, pa, pb
+    sig = jnp.clip(jnp.where(improved, sig * _POLISH_GROW,
+                             sig * _POLISH_SHRINK), 1e-5, _POLISH_SIGMA0)
+    return u, h, pa, pb, sig
 
-  u_p, h_p, pa_p, pb_p = jax.lax.fori_loop(0, _POLISH_ITERS, polish, carry)
+  u_p, h_p, pa_p, pb_p, _ = jax.lax.fori_loop(0, _POLISH_ITERS, polish,
+                                              carry)
   # adopt the polished answer wherever a portal exists: h_p is a valid
   # (near-tight) upper bound on the true depth, while the portal-plane
   # distance is a chord-plane estimate that can cut below the surface
