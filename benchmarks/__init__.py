@@ -34,10 +34,11 @@ BENCHMARKS = {
                         8192, 1000, (), {1: 50, 3: 50}),
     # dm_control humanoid: 34 sensors, all within the fused sensor set
     # (frame/joint/subtree/touch classes) — rides the fused path.
-    # Budget: {1:8,3:16} measured overflow in 21/8192 worlds (TPU,
-    # 2026-08-19); {1:12,3:24} is the overflow-0 rung
+    # Budget ladder (TPU, 2026-08-19): {1:8,3:16} overflowed 21/8192
+    # worlds, {1:12,3:24} overflowed 1/8192; {1:16,3:32} is the
+    # overflow-0 rung
     'humanoid_dmc': (os.path.join(_DMC, 'humanoid.xml'), 8192, 1000, (),
-                     {1: 12, 3: 24}),
+                     {1: 16, 3: 32}),
     # G1-class stand-in (reference benchmarks/g1: implicitfast humanoid
     # robot; menagerie assets unavailable in this zero-egress image, so
     # the flagship humanoid runs under implicitfast — same integrator

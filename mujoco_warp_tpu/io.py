@@ -150,7 +150,15 @@ def _efc_layout(
     eq_groups[name][1].append(adr)
     n = _EQ_NROW[et]
     if n < 0:  # FLEX: one row per edge of the flex (constraint.py:878);
-      # interpolated flexes emit none (C skips edge equality for interp)
+      # interpolated flexes emit none — VERIFIED identical to the
+      # installed MuJoCo C oracle (mj_forward on an interp flex with an
+      # explicit <equality><flex/> reports ne=0).  The reference's
+      # eigenmode flexstrain rows (constraint.py:1443
+      # _equality_flexstrain) target a newer compiler that emits
+      # per-cell eigen data in flex_stiffness; with the in-image C
+      # emitting neither the rows nor that data, an implementation here
+      # would be untestable guesswork — revisit when the oracle catches
+      # up.
       fi = int(mjm.eq_obj1id[eqid])
       n = 0 if int(mjm.flex_interp[fi]) != 0 else \
           int(mjm.flex_edgenum[fi])

@@ -33,7 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mujoco_warp_tpu import types
 
-TILE_W = 128
+# worlds per kernel tile (one grid step).  128 = one vector-lane width;
+# larger multiples trade grid steps for wider (multi-register) vector ops
+# — A/B via env, measured on the flagship before changing the default.
+import os as _os_tw
+
+TILE_W = int(_os_tw.environ.get('MWTPU_TILE_W', 128))
 _MINVAL = 1e-15
 _VMEM_BUDGET = 96 * 1024 * 1024
 # A/B knobs for the Newton-loop optimizations (trace-time).  TPU-measured
