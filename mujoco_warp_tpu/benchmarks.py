@@ -81,7 +81,8 @@ def load_humanoid_benchmark():
 
 
 def build(mjm, nworld: int, seed: int = 0, nconmax={1: 12, 3: 24},
-          overrides=(), init_qpos=None, init_qvel=None):
+          overrides=(), init_qpos=None, init_qvel=None,
+          qpos_noise: float = 0.01):
   """Model + randomized batched Data.
 
   ``nconmax`` defaults to per-condim budgets {1: 12, 3: 24} (36 total
@@ -117,7 +118,9 @@ def build(mjm, nworld: int, seed: int = 0, nconmax={1: 12, 3: 24},
   if init_qpos is not None:
     qpos = np.broadcast_to(np.asarray(init_qpos, np.float32),
                            qpos.shape).copy()
-  qpos = qpos + 0.01 * rng.standard_normal(qpos.shape).astype(np.float32)
+  if qpos_noise:
+    qpos = qpos + qpos_noise * rng.standard_normal(qpos.shape).astype(
+        np.float32)
   d = d.replace(qpos=jnp.asarray(qpos))
   if init_qvel is not None:
     qvel = np.broadcast_to(np.asarray(init_qvel, np.float32),
@@ -163,7 +166,14 @@ def run(mjm, nworld: int = 8192, nstep: int = 100, seed: int = 0,
     mujoco.mj_resetData(mjm, mjd)
     traj = io.load_trajectory(replay, mjm, mjd).astype(np.float32)
     init_qpos, init_qvel = mjd.qpos.copy(), mjd.qvel.copy()
-  kw = dict(overrides=overrides, init_qpos=init_qpos, init_qvel=init_qvel)
+  # replay semantics (reference cli.py:94-136): worlds start from the
+  # RECORDED state exactly and decorrelate through OU noise around the
+  # replayed ctrl — qpos noise on free objects would sink them into
+  # support surfaces (measured: 1 cm noise on the aloha pot explodes
+  # the scene into a >128-contacts-per-world storm; the pure replay has
+  # 4, matching the C oracle step-for-step)
+  kw = dict(overrides=overrides, init_qpos=init_qpos, init_qvel=init_qvel,
+            qpos_noise=0.0 if replay is not None else 0.01)
   if nconmax != 'default':
     kw['nconmax'] = nconmax
   m, d = build(mjm, nworld, seed, **kw)
