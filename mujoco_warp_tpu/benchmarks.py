@@ -188,13 +188,38 @@ def run(mjm, nworld: int = 8192, nstep: int = 100, seed: int = 0,
   from mujoco_warp_tpu.pallas import fused
   use_fused = fused.supported(m, d)
 
-  def ou(noise, key, base=None):
-    key, sub = jax.random.split(key)
-    eta = jax.random.normal(sub, noise.shape, noise.dtype)
-    decay = jnp.exp(-dt / tau)
-    noise = noise * decay + 0.2 * np.sqrt(dt) * eta
-    ctrl = noise if base is None else base + noise
-    return noise, ctrl, key
+  # replay runs mirror the reference's _ctrl_noise exactly (cli.py:95-136):
+  # OU converging to the replayed ctrl at rate 0.1 s with std 0.01 of the
+  # actuator half-range, clamped to ctrlrange (gaussian here vs the
+  # reference's Halton uniform — same scale).  Non-replay scenes keep the
+  # legacy hotter OU this round: every committed budget ladder was
+  # measured against it.
+  if traj is not None:
+    lim = np.asarray(jax.device_get(m.actuator_ctrllimited)).astype(bool)
+    crange = np.asarray(jax.device_get(m.actuator_ctrlrange), np.float32)
+    halfrange = np.where(lim, 0.5 * (crange[:, 1] - crange[:, 0]), 1.0)
+    r_decay = float(np.exp(-dt / 0.1))
+    r_scale = 0.01 * float(np.sqrt(1.0 - r_decay * r_decay))
+    hr = jnp.asarray(halfrange)
+    lo = jnp.asarray(np.where(lim, crange[:, 0], -np.inf))
+    hi = jnp.asarray(np.where(lim, crange[:, 1], np.inf))
+
+    def ou(noise, key, base=None):
+      key, sub = jax.random.split(key)
+      eta = jax.random.normal(sub, noise.shape, noise.dtype)
+      shp = (-1, 1) if noise.ndim == 2 and noise.shape[-1] != nu else (-1,)
+      noise = noise * r_decay + r_scale * hr.reshape(shp) * eta
+      ctrl = noise if base is None else base + noise
+      ctrl = jnp.clip(ctrl, lo.reshape(shp), hi.reshape(shp))
+      return noise, ctrl, key
+  else:
+    def ou(noise, key, base=None):
+      key, sub = jax.random.split(key)
+      eta = jax.random.normal(sub, noise.shape, noise.dtype)
+      decay = jnp.exp(-dt / tau)
+      noise = noise * decay + 0.2 * np.sqrt(dt) * eta
+      ctrl = noise if base is None else base + noise
+      return noise, ctrl, key
 
   if use_fused:
     # lanes-last rollout: layout conversion happens once, outside the loop
