@@ -100,6 +100,8 @@ def _support_verts(verts: np.ndarray, cap: int) -> np.ndarray:
       cur = np.maximum(cur, dots[:, v])
     hv = hv[np.sort(np.asarray(sel))]
   hv = np.ascontiguousarray(hv, np.float32)
+  if len(_hull_cache) >= 512:  # bound: decimated hulls, not raw buffers
+    _hull_cache.clear()
   _hull_cache[key] = hv
   return hv
 
