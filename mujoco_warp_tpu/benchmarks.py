@@ -319,7 +319,17 @@ def run(mjm, nworld: int = 8192, nstep: int = 100, seed: int = 0,
   if use_fused:
     qpos = qpos.T  # lanes-last -> world-major
   converged = int(np.sum(np.all(np.isfinite(qpos), axis=-1)))
-  overflow_worlds = int(np.sum(overflow != 0))
+  # capacity overflow (CONTACT/CONSTRAINT: a fixed buffer saturated and
+  # results were truncated) is the integrity gate; solver-cap exhaustion
+  # (SOLVER: a world latched niter == opt.iterations some step) is an
+  # accuracy bucket reported separately — the reference's testspeed
+  # treats solver_niter buckets as stats, not capacity errors
+  # (testspeed.py:266-278), e.g. the cloth scene legitimately runs CG to
+  # its XML iteration cap from a wrinkled start, exactly as the C does.
+  cap_bits = int(types.OverflowType.CONTACT | types.OverflowType.CONSTRAINT)
+  overflow_worlds = int(np.sum((overflow & cap_bits) != 0))
+  solver_cap_worlds = int(np.sum(
+      (overflow & int(types.OverflowType.SOLVER)) != 0))
   return {
       'jit_duration': jit_duration,
       'run_time': run_time,
@@ -328,6 +338,7 @@ def run(mjm, nworld: int = 8192, nstep: int = 100, seed: int = 0,
       'ns_per_step': 1e9 * run_time / steps,
       'converged_worlds': converged,
       'overflow_worlds': overflow_worlds,
+      'solver_cap_worlds': solver_cap_worlds,
       'nworld': nworld,
       'nstep': nstep,
       'solver_niter_mean': float(np.mean(jax.device_get(d.solver_niter))),
