@@ -46,7 +46,8 @@ def _batched(fn):
 
 
 def fwd_position(m: types.Model, d: types.Data,
-                 factorize: bool = True) -> types.Data:
+                 factorize: bool = True,
+                 eager_islands: bool = True) -> types.Data:
   """Position-dependent computations (reference: forward.py:636)."""
   d = smooth.kinematics(m, d)
   d = smooth.com_pos(m, d)
@@ -72,8 +73,10 @@ def fwd_position(m: types.Model, d: types.Data,
     d = sleep_ops.mask_sleeping(m, d)
     # islands feed sleep's island-agreement test; without sleeping no
     # pipeline stage consumes the labels (43 ms/step at 8192 worlds) —
-    # ops/island.island remains callable directly
-    d = island.island(m, d)
+    # ops/island.island remains callable directly.  Batched callers pass
+    # eager_islands=False and run _island_lazy after their vmap instead.
+    if eager_islands:
+      d = island.island(m, d)
   d = smooth.transmission(m, d)
   return d
 
@@ -673,6 +676,23 @@ def step(m: types.Model, d: types.Data) -> types.Data:
   return _step_batched(m, d)
 
 
+def _island_lazy(m: types.Model, d: types.Data) -> types.Data:
+  """Batch-global lazy island labeling (d batched over worlds).
+
+  Islands feed only sleep()'s island-agreement test, which can change an
+  outcome only on steps where some awake tree's quiescence counter
+  reaches ready (see sleep_ops.sleep_candidate for why sleeping trees'
+  stale labels are exact).  Skipping the labeler when no world has a
+  candidate removes the dominant sleep-bookkeeping cost at steady state
+  (tools/profile_sleep.py: 41.7 of ~72 ms/step at clutter_arm @4096).
+  """
+  cand = jax.vmap(lambda dd: sleep_ops.sleep_candidate(m, dd))(d)
+  return jax.lax.cond(
+      jnp.any(cand),
+      lambda dd: jax.vmap(lambda x: island.island(m, x))(dd),
+      lambda dd: dd, d)
+
+
 def _step_batched(m: types.Model, d: types.Data,
                   run_wake: bool = True) -> types.Data:
   """Stage-split batched step (Pallas megakernels where supported)."""
@@ -692,7 +712,7 @@ def _step_batched(m: types.Model, d: types.Data,
         dd = smooth.flex(m, dd)
       dd = smooth.tendon(m, dd)
       return dd
-    dd = fwd_position(m, dd)
+    dd = fwd_position(m, dd, eager_islands=False)
     dd = sensor.sensor_pos(m, dd)
     dd = sensor.energy_pos(m, dd)
     dd = fwd_velocity(m, dd)
@@ -712,9 +732,11 @@ def _step_batched(m: types.Model, d: types.Data,
     if sleep_ops.enabled(m):
       dd = sleep_ops.wake_equality(m, dd)
       dd = sleep_ops.mask_sleeping(m, dd)
-      # islands feed sleep's island-agreement test only (43 ms/step at
-      # three_humanoids @8192 when computed unconditionally)
-      dd = island.island(m, dd)
+      # islands run lazily after the vmap (batch-global skip): they feed
+      # sleep's island-agreement test only, and that test needs fresh
+      # labels only on steps where some awake tree is ready to sleep
+      # (see _island_lazy; was 42 ms/step at clutter_arm @4096 when
+      # computed unconditionally)
     dd = smooth.transmission(m, dd)
     dd = sensor.sensor_pos(m, dd)
     dd = sensor.energy_pos(m, dd)
@@ -750,9 +772,13 @@ def _step_batched(m: types.Model, d: types.Data,
   from mujoco_warp_tpu.pallas import linalg as plinalg
 
   d = jax.vmap(pre)(d)
+  if not use_mass_chain and sleep_ops.enabled(m):
+    d = _island_lazy(m, d)
   if use_mass_chain:
     d = psmooth.mass_chain(m, d)
     d = jax.vmap(mid)(d)
+    if sleep_ops.enabled(m):
+      d = _island_lazy(m, d)
     # qacc_smooth via the lane-parallel triangular solve
     if plinalg.supported(m, d):
       d = d.replace(qacc_smooth=plinalg.chol_solve_batched(

@@ -113,6 +113,25 @@ def _wake_groups(asleep, hit):
   return jnp.where(wake_mask, jnp.int32(K_AWAKE), asleep)
 
 
+def sleep_candidate(m: types.Model, d: types.Data):
+  """() bool: some awake tree could pass sleep()'s ready test this step.
+
+  Islands feed only the island-agreement test inside sleep(), and that
+  test can only change the outcome for an awake tree whose quiescence
+  counter reaches -1 this step (asleep >= -2 before counting, and the
+  tree passes the quiescence check).  Already-sleeping trees are frozen:
+  their contact rows — and therefore their island labels — are unchanged
+  from the step they fell asleep, so skipping the labeler reproduces the
+  fresh labels exactly.  A sleeping tree touched by an awake one is woken
+  by wake_collision/wake_equality BEFORE sleep() runs, resetting its
+  counter to K_AWAKE (< -2) — never a candidate in the same step.
+  """
+  tol = m.opt.sleep_tolerance.astype(d.qpos.dtype)
+  cannot = _cannot_sleep(m, d, tol)
+  a = d.tree_asleep
+  return jnp.any((a < 0) & (a >= -2) & ~cannot)
+
+
 def wake(m: types.Model, d: types.Data) -> types.Data:
   """Start-of-step wake pass (reference sleep.py:721): sleeping trees with
   applied forces (or externally injected velocity) wake with their group."""

@@ -148,3 +148,46 @@ def test_sleep_oracle_trajectory(settled):
   z_eng = np.asarray(d.qpos).reshape(3, 7)[:, 2]
   z_c = np.asarray(mjd2.qpos).reshape(3, 7)[:, 2]
   np.testing.assert_allclose(z_eng, z_c, atol=5e-3)
+
+
+def test_lazy_islands_match_eager(settled, monkeypatch):
+  """Batched stepping with the batch-global lazy island skip reproduces
+  the unconditional per-step labeler exactly (tree_asleep AND qpos).
+
+  The skip fires on steps where no awake tree's quiescence counter can
+  reach ready (ops/forward._island_lazy); this pins the claim that stale
+  labels on those steps are behavior-identical.
+  """
+  from mujoco_warp_tpu.ops import island as island_ops
+
+  mjm, mjd = settled
+  m = io.put_model(mjm)
+
+  def batched(n=4):
+    d = io.make_data(m, nworld=n)
+    # decorrelate worlds a little so sleep onset differs per world
+    qv = np.zeros((n, mjm.nv), np.float32)
+    qv[:, 0] = np.linspace(0.0, 0.05, n)
+    return d.replace(qvel=jnp.asarray(qv))
+
+  nstep = 900
+
+  def rollout():
+    d = batched()
+    step = jax.jit(lambda dd: fwd.step(m, dd))
+    for _ in range(nstep):
+      d = step(d)
+    return d
+
+  d_lazy = rollout()
+  assert np.all(np.asarray(d_lazy.tree_asleep) >= 0), \
+      'fixture must settle to sleep within the rollout'
+
+  eager = lambda mm, dd: jax.vmap(lambda x: island_ops.island(mm, x))(dd)
+  monkeypatch.setattr(fwd, '_island_lazy', eager)
+  d_eager = rollout()
+
+  np.testing.assert_array_equal(np.asarray(d_lazy.tree_asleep),
+                                np.asarray(d_eager.tree_asleep))
+  np.testing.assert_array_equal(np.asarray(d_lazy.qpos),
+                                np.asarray(d_eager.qpos))
